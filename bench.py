@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric (BASELINE.json): particle-steps/sec at 1M particles on one TPU chip.
+Baseline: the reference's implied sustained design point on its dev GPU,
+~4.8e7 particle-steps/sec (50k particles x 16 substeps x 60 fps; see
+BASELINE.md).  Detail timings (per-stage ms/substep) go to stderr.
+
+Usage: python bench.py [config_name] [n_substeps]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_PSTEPS = 4.8e7
+
+
+def main() -> None:
+    config_name = sys.argv[1] if len(sys.argv) > 1 else "ghost_1m"
+    n_substeps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sph_tpu.app import configs as AC
+    from sph_tpu.engine.step import SceneBuffers, run_substeps
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.device_kind} ({dev.platform})",
+          file=sys.stderr)
+
+    if config_name not in AC.CONFIGS:
+        sys.exit(f"unknown config '{config_name}'; "
+                 f"available: {', '.join(sorted(AC.CONFIGS))}")
+    cfg = AC.CONFIGS[config_name]
+    state, params, sim = AC.build(cfg)
+    buffers = SceneBuffers.create(sim)
+    n_fluid = int(np.asarray(state.fluid_mask()).sum())
+    print(f"[bench] config={config_name} fluid={n_fluid} padded={state.n} "
+          f"grid={sim.grid_dims} impl={sim.neighbor_impl}", file=sys.stderr)
+
+    # Warmup with the SAME substep count (scan length is a static jit arg,
+    # so a different count would recompile inside the timed section).
+    t0 = time.time()
+    state, buffers = run_substeps(state, params, buffers, params.dt,
+                                  n_substeps, sim)
+    _ = np.asarray(state.pos[:8])  # force completion (block_until_ready is a no-op over the tunnel)
+    print(f"[bench] compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    state, buffers = run_substeps(state, params, buffers, params.dt,
+                                  n_substeps, sim)
+    _ = np.asarray(state.pos[:8])
+    elapsed = time.time() - t0
+
+    ms_per_substep = 1e3 * elapsed / n_substeps
+    psteps = n_fluid * n_substeps / elapsed
+    print(f"[bench] {n_substeps} substeps in {elapsed:.3f}s "
+          f"({ms_per_substep:.2f} ms/substep)", file=sys.stderr)
+
+    # Sanity: simulation must stay finite.
+    assert not bool(np.isnan(np.asarray(state.pos[:1024])).any()), \
+        "NaN in positions after bench run"
+
+    print(json.dumps({
+        "metric": f"particle-steps/sec @ {config_name}",
+        "value": round(psteps, 1),
+        "unit": "particle-steps/sec",
+        "vs_baseline": round(psteps / REFERENCE_BASELINE_PSTEPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -258,7 +258,8 @@ GRID_DIM_CAP = 160  # per-axis cell cap, reference SPHFluid3D.cpp:298
 
 
 def compute_grid_dims(shape_type: int, box_half, box_euler_deg, h: float,
-                      round_to: int = 8) -> Tuple[int, int, int]:
+                      round_to: int = 8,
+                      cap: int = GRID_DIM_CAP) -> Tuple[int, int, int]:
     """Static grid dims from the rotated container's world AABB.
 
     Mirrors ``SPHFluidGPU::ComputeGridExtents`` (``SPHFluid3D.cpp:282-304``):
@@ -273,8 +274,8 @@ def compute_grid_dims(shape_type: int, box_half, box_euler_deg, h: float,
     dims = []
     for e in ext:
         d = int(np.ceil((2.0 * e) / h))
-        d = min(GRID_DIM_CAP, max(1, d))
-        d = min(GRID_DIM_CAP, ((d + round_to - 1) // round_to) * round_to)
+        d = min(cap, max(1, d))
+        d = min(cap, ((d + round_to - 1) // round_to) * round_to)
         dims.append(d)
     return tuple(dims)
 

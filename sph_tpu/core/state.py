@@ -38,6 +38,7 @@ class ParticleState:
     face: jax.Array         # [N]   i32  ghost face id 0..5, -1 for fluid
     color_group: jax.Array  # [N]   i32  (reference padC, read as flags.z)
     valid: jax.Array        # [N]   i32  1 = real particle, 0 = padding
+    orig_id: jax.Array      # [N]   i32  spawn identity (order-independent)
 
     @property
     def n(self) -> int:
@@ -49,7 +50,8 @@ class ParticleState:
         f1 = jnp.zeros((n,), jnp.float32)
         i1 = jnp.zeros((n,), jnp.int32)
         return cls(pos=f3, vel=f3, acc=f3, density=f1, pressure=f1, foam=f1,
-                   ghost=i1, active=i1, face=i1 - 1, color_group=i1, valid=i1)
+                   ghost=i1, active=i1, face=i1 - 1, color_group=i1, valid=i1,
+                   orig_id=jnp.arange(n, dtype=jnp.int32))
 
     def contrib_mask(self, ghost_face_active: jax.Array) -> jax.Array:
         """[N] f32 — weight of each particle as a *neighbor source*.
@@ -354,4 +356,5 @@ def state_from_spawn(spawn: SpawnResult, pad_to: Optional[int] = None) -> Partic
         face=jnp.asarray(pad1(spawn.face, fill=-1)),
         color_group=jnp.asarray(pad1(spawn.color_group)),
         valid=jnp.asarray(valid),
+        orig_id=jnp.arange(n, dtype=jnp.int32),
     )

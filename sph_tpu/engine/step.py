@@ -53,6 +53,9 @@ def sph_solve(state: ParticleState, params: FluidParams, dt: jax.Array,
         return brute_force.substep(state, params, dt)
     if config.neighbor_impl == "cell":
         return cell_solver.substep(state, params, dt, config)
+    if config.neighbor_impl == "binned":
+        from sph_tpu.neighbors import binned
+        return binned.substep(state, params, dt, config)
     if config.neighbor_impl == "pallas":
         from sph_tpu.neighbors import pallas_sweeps
         return pallas_sweeps.substep(state, params, dt, config)

@@ -33,13 +33,12 @@ def fountain_recycle(state: ParticleState, params: FluidParams, dt: jax.Array,
     with an upward jet velocity + sideways spread cone.  Color-group tags
     survive recycling.
     """
-    n = state.n
     half = effective_half(params)
     emit = params.box_center + params.fountain_offset
     drain_y = (params.box_center[1] - half[1]) + params.fountain_drain_level
     drain_chance = jnp.minimum(1.0, params.fountain_drain_per_sec * dt)
 
-    i = jnp.arange(n, dtype=jnp.uint32)
+    i = state.orig_id.astype(jnp.uint32)
     s = (i ^ (jnp.asarray(seed, jnp.uint32) * jnp.uint32(747796405))) \
         + jnp.uint32(2891336453)
     s, roll = _lcg_next(s)
@@ -78,8 +77,7 @@ def stream_emit(state: ParticleState, params: FluidParams) -> ParticleState:
     respawn hash depends only on the particle index (as in the reference),
     so a given slot always respawns at the same jittered spot.
     """
-    n = state.n
-    i = jnp.arange(n, dtype=jnp.uint32)
+    i = state.orig_id.astype(jnp.uint32)
     s = i * _LCG_A + _LCG_C
 
     def nxt16(s):

@@ -161,11 +161,9 @@ def stencil_attract(state: ParticleState, targets: jax.Array, num_targets,
     ``targets`` is a fixed-capacity [T,3] buffer; ``num_targets`` a traced
     count (0 disables).  Damp is clamped to 0.5 as in SPHFluid3D.cpp:631.
     """
-    n = state.n
     cap = targets.shape[0]
     num = jnp.clip(num_targets, 0, cap)
-    idx = jnp.where(num > 0,
-                    jnp.arange(n, dtype=jnp.int32) % jnp.maximum(num, 1), 0)
+    idx = jnp.where(num > 0, state.orig_id % jnp.maximum(num, 1), 0)
     tgt = targets[idx]
     damp = jnp.minimum(damp, 0.5)
     d = tgt - state.pos

@@ -38,7 +38,8 @@ def test_cell_binning_vs_brute_neighbors(dam_break_small):
 
     state, params, dims = dam_break_small
     contrib = state.contrib_mask(params.ghost_face_active)
-    rho_b = np.asarray(brute_force.density_pass(state.pos, contrib, params))
+    rho_b = np.asarray(brute_force.density_pass(state.pos, state.pos,
+                                                contrib, params))
     cl = G.build_cell_list(state.pos, state.valid, grid_min(params),
                            params.h, dims, 8)
     assert int(cl.overflow) == 0
