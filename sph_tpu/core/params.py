@@ -307,6 +307,8 @@ class SimConfig:
     terrain_res: Tuple[int, int] = (64, 64)
     max_substeps: int = 16                 # per-frame cap, Scene0p.h:48
     brute_tile: int = 1024                 # row tile for the O(N^2) oracle
+    sweep_unroll: bool = False             # statically unroll the 27 offsets
+                                           # (faster on TPU, slower compiles)
 
     @property
     def num_cells(self) -> int:

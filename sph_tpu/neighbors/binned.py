@@ -3,26 +3,27 @@
 Measured on TPU v5e, per-row random access (gather/scatter) costs ~10-60 ns
 per row, so the gather-per-neighbor cell list (``physics/cell_solver.py``)
 is hopeless on TPU.  This engine restructures the whole substep so the hot
-loops touch memory only through dense elementwise ops and *static slices*:
+loops touch memory only through dense elementwise ops and slices:
 
 1.  ``lax.sort`` with the cell key + all per-particle fields as payload
     operands (no permutation gathers; ~12 ms at 1M).
 2.  Per-cell rank from the sorted keys via ``associative_scan`` (no
     searchsorted, no gathers).
 3.  ONE packed row scatter places each particle's fields into its unique
-    slot of a dense [C, K] bin table (slot = key*K + rank, ascending).
-4.  The bins transpose into lane-major planes ``[K, C]`` per field, padded
-    with a far-away sentinel position.  The 27-cell neighborhood of cell c
-    is then ``c + dc`` for 27 *static* flattened offsets — every sweep is
-    pure VPU math over [C]-wide lanes with static slices, zero gathers.
-    Empty slots and masked sources sit at the sentinel, so the r^2 < h^2
-    test eliminates them with no extra flag traffic.
+    slot of a dense [C, K] bin table (slot = key*K + rank, ascending —
+    the sorted+unique scatter is DMA-speed on TPU).
+4.  The bins reshape into field planes ``[K, rows, x]`` where
+    rows = y + ny*z (sublane-tiled) and x is the lane dimension, each
+    halo-padded with a far-away sentinel position.  A neighbor-cell
+    offset (dx, dy, dz) is then a plain slice: (dy, dz) land on the
+    untiled rows axis (free strided addressing) and dx = +-1 is the
+    cheapest possible lane shift.  The sweeps (``binned_sweeps.py``) are
+    pure VPU math; empty slots and masked sources sit at the sentinel so
+    the r^2 < h^2 test eliminates them with no flag traffic.
 5.  ONE row gather brings per-slot results back to particle order.
 
 Physics semantics match ``physics/brute_force.py`` (the oracle) exactly;
-see ``physics/common.py`` for the shared pair math.  The Pallas engine
-(``neighbors/pallas_sweeps.py``) keeps the same layout but fuses the
-sweeps into VMEM-resident layer blocks.
+see ``physics/common.py`` for the shared pair math.
 """
 from __future__ import annotations
 
@@ -35,17 +36,10 @@ from jax import lax
 
 from sph_tpu.core.params import FluidParams, SimConfig, grid_min as grid_min_fn
 from sph_tpu.core.state import ParticleState
+from sph_tpu.neighbors import binned_sweeps as S
 from sph_tpu.physics import common as C
-from sph_tpu.physics import kernels as K
 
 SENTINEL_POS = 1.0e7   # farther than any container; r^2 masks kill such pairs
-
-
-def neighbor_offsets(dims: Tuple[int, int, int]) -> list[int]:
-    """The 27 flattened cell offsets for x-fastest z-major keys."""
-    nx, ny, _ = dims
-    return [dx + nx * (dy + ny * dz)
-            for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
 
 class SortedState(NamedTuple):
@@ -56,7 +50,7 @@ class SortedState(NamedTuple):
     density: jax.Array    # [N]
     pressure: jax.Array   # [N]
     foam: jax.Array       # [N]
-    flags: jax.Array      # [N] i32 packed: ghost | active<<1 | valid<<2
+    flags: jax.Array      # [N] i32: ghost | active<<1 | valid<<2 | contrib<<3
     color_group: jax.Array  # [N] i32
     face: jax.Array       # [N] i32
     orig_id: jax.Array    # [N] i32 spawn identity
@@ -117,32 +111,25 @@ def to_particle_state(s: SortedState) -> ParticleState:
 
 
 class Bins(NamedTuple):
-    """Lane-major field planes. Each is [K, CP] where CP = halo + C + halo,
-    halo = nx*ny + nx + 1 (max |offset|), C = num_cells."""
+    """Field planes [K, RP, LX]: RP = rows + 2*(ny+1), LX = nx + 2.
+    Cell (x, y, z) lives at [k, HR + y + ny*z, 1 + x]."""
     px: jax.Array
     py: jax.Array
     pz: jax.Array
     vx: jax.Array
     vy: jax.Array
     vz: jax.Array
-    ghost_on: jax.Array   # 1.0 where slot holds an active (contributing) ghost
-    slot: jax.Array       # [N] i32 per sorted particle: k*CP + halo + key (plane index)
+    ghost_on: jax.Array   # 1.0 where the slot holds a contributing ghost
     in_bin: jax.Array     # [N] bool — rank < K
     overflow: jax.Array   # [] i32
 
 
-def halo_size(dims: Tuple[int, int, int]) -> int:
-    nx, ny, _ = dims
-    return nx * ny + nx + 1
-
-
 def build_bins(s: SortedState, params: FluidParams,
                dims: Tuple[int, int, int], cap: int) -> Bins:
-    """One packed scatter + transpose -> sentinel-padded field planes."""
+    """One packed scatter + reshape/pad -> sentinel-padded field planes."""
     nx, ny, nz = dims
     num_cells = nx * ny * nz
-    halo = halo_size(dims)
-    cp = num_cells + 2 * halo
+    rows = ny * nz
     n = s.key.shape[0]
 
     ghost = (s.flags & 1) > 0
@@ -167,201 +154,21 @@ def build_bins(s: SortedState, params: FluidParams,
     table = table.at[slot].set(packed, mode="drop", unique_indices=True)
     table = table[:num_cells * cap]                      # drop the spill row
 
-    # [C*K, 8] -> [C, K, 8] -> [8, K, C] planes, then halo-pad the C axis.
+    # [C*K, 8] -> [C, K, 8] -> [8, K, C] -> [8, K, rows, nx] -> halo pads.
     planes = jnp.transpose(table.reshape(num_cells, cap, 8), (2, 1, 0))
-
-    def padp(i, sentinel):
-        return jnp.pad(planes[i], ((0, 0), (halo, halo)),
-                       constant_values=sentinel)
+    planes = planes.reshape(8, cap, rows, nx)
 
     overflow = jnp.sum(((s.rank >= cap) & (s.key < num_cells)
                         & valid).astype(jnp.int32))
-    plane_slot = s.rank * cp + halo + s.key  # index into a [K, CP] plane
     return Bins(
-        px=padp(0, SENTINEL_POS), py=padp(1, SENTINEL_POS),
-        pz=padp(2, SENTINEL_POS),
-        vx=padp(3, 0.0), vy=padp(4, 0.0), vz=padp(5, 0.0),
-        ghost_on=padp(6, 0.0),
-        slot=plane_slot, in_bin=in_bin, overflow=overflow)
-
-
-def _shifted(plane: jax.Array, dc: int, num_cells: int, halo: int) -> jax.Array:
-    """[K, C] view of a [K, CP] plane shifted by static cell offset dc."""
-    return lax.slice_in_dim(plane, halo + dc, halo + dc + num_cells, axis=1)
-
-
-def _center(plane: jax.Array, num_cells: int, halo: int) -> jax.Array:
-    return lax.slice_in_dim(plane, halo, halo + num_cells, axis=1)
-
-
-def density_sweep(bins: Bins, params: FluidParams,
-                  dims: Tuple[int, int, int], cap: int) -> jax.Array:
-    """rho_raw planes [K, C]: 27 static shifts x K x K masked poly6 sums.
-
-    Self-pairs included (``SPHFluid.comp:89-106``); sentinel slots
-    self-eliminate through the r^2 < h^2 mask.
-    """
-    nx, ny, nz = dims
-    num_cells = nx * ny * nz
-    halo = halo_size(dims)
-    h2 = params.h * params.h
-    cx = _center(bins.px, num_cells, halo)
-    cy = _center(bins.py, num_cells, halo)
-    cz = _center(bins.pz, num_cells, halo)
-
-    offs = jnp.asarray(neighbor_offsets(dims), jnp.int32)
-    kf = jnp.arange(cap)
-
-    def body(o, acc):
-        dc = offs[o]
-        sx = lax.dynamic_slice_in_dim(bins.px, halo + dc, num_cells, axis=1)
-        sy = lax.dynamic_slice_in_dim(bins.py, halo + dc, num_cells, axis=1)
-        sz = lax.dynamic_slice_in_dim(bins.pz, halo + dc, num_cells, axis=1)
-        for k2 in range(cap):
-            dx = cx - sx[k2][None, :]
-            dy = cy - sy[k2][None, :]
-            dz = cz - sz[k2][None, :]
-            r2 = dx * dx + dy * dy + dz * dz
-            acc = acc + jnp.where(r2 < h2, K.poly6(r2, params.h), 0.0)
-        return acc
-
-    acc = lax.fori_loop(0, 27, body, jnp.zeros((cap, num_cells), jnp.float32))
-    return params.mass * acc
-
-
-def force_integrate_xsph_sweep(bins: Bins, rho_p: jax.Array, pres_p: jax.Array,
-                               params: FluidParams, dt: jax.Array,
-                               dims: Tuple[int, int, int], cap: int):
-    """Force sweep -> integrate -> XSPH sweep, all in plane layout.
-
-    rho_p / pres_p are FRESH density/pressure planes [K, C] (already
-    ghost-corrected).  Returns (new_pos3, new_vel3, acc3) planes, each
-    [3][K, C].  XSPH uses fresh self pos/vel vs stale neighbor pos/vel,
-    matching the oracle.
-    """
-    nx, ny, nz = dims
-    num_cells = nx * ny * nz
-    halo = halo_size(dims)
-    h = params.h
-    h2 = h * h
-    cx = _center(bins.px, num_cells, halo)
-    cy = _center(bins.py, num_cells, halo)
-    cz = _center(bins.pz, num_cells, halo)
-    cvx = _center(bins.vx, num_cells, halo)
-    cvy = _center(bins.vy, num_cells, halo)
-    cvz = _center(bins.vz, num_cells, halo)
-
-    # Halo-padded fresh rho/P planes (sources need them under shifts).
-    rho_pad = jnp.pad(rho_p, ((0, 0), (halo, halo)), constant_values=1.0)
-    pres_pad = jnp.pad(pres_p, ((0, 0), (halo, halo)))
-
-    offs = jnp.asarray(neighbor_offsets(dims), jnp.int32)
-    zero_off = 13  # index of (0,0,0) in neighbor_offsets ordering
-
-    def force_body(o, carry):
-        fpx, fpy, fpz, gcx, gcy, gcz, lc = carry
-        dc = offs[o]
-        sx = lax.dynamic_slice_in_dim(bins.px, halo + dc, num_cells, axis=1)
-        sy = lax.dynamic_slice_in_dim(bins.py, halo + dc, num_cells, axis=1)
-        sz = lax.dynamic_slice_in_dim(bins.pz, halo + dc, num_cells, axis=1)
-        svx = lax.dynamic_slice_in_dim(bins.vx, halo + dc, num_cells, axis=1)
-        svy = lax.dynamic_slice_in_dim(bins.vy, halo + dc, num_cells, axis=1)
-        svz = lax.dynamic_slice_in_dim(bins.vz, halo + dc, num_cells, axis=1)
-        srho = lax.dynamic_slice_in_dim(rho_pad, halo + dc, num_cells, axis=1)
-        spres = lax.dynamic_slice_in_dim(pres_pad, halo + dc, num_cells, axis=1)
-        is_zero_off = (o == zero_off)
-        for k2 in range(cap):
-            dx = cx - sx[k2][None, :]
-            dy = cy - sy[k2][None, :]
-            dz = cz - sz[k2][None, :]
-            r2 = dx * dx + dy * dy + dz * dz
-            r = jnp.sqrt(r2)
-            # exclude self-pair: same offset, same slot row
-            self_pair = is_zero_off & (jnp.arange(cap) == k2)[:, None]
-            m = (r < h) & ~self_pair
-            mrho = params.mass / jnp.maximum(srho[k2], 1e-12)[None, :]
-            gmag = K.spiky_grad_mag_over_r(r, h)          # [K, C]
-            lapw = K.visc_laplacian(r, h)
-            mw = jnp.where(m, mrho, 0.0)
-            # pressure force: -m (Pi+Pj)/(2 rho_j) * gradW
-            pscale = -(pres_p + spres[k2][None, :]) * 0.5 * mw * gmag
-            fpx = fpx + pscale * dx
-            fpy = fpy + pscale * dy
-            fpz = fpz + pscale * dz
-            # viscosity: (vj - vi) m/rho_j lapW (accumulated into f* with mu later)
-            vscale = mw * lapw * params.viscosity
-            fpx = fpx + vscale * (svx[k2][None, :] - cvx)
-            fpy = fpy + vscale * (svy[k2][None, :] - cvy)
-            fpz = fpz + vscale * (svz[k2][None, :] - cvz)
-            # surface tension accumulators
-            gscale = mw * gmag
-            gcx = gcx + gscale * dx
-            gcy = gcy + gscale * dy
-            gcz = gcz + gscale * dz
-            lc = lc + mw * lapw
-        return (fpx, fpy, fpz, gcx, gcy, gcz, lc)
-
-    z = jnp.zeros((cap, num_cells), jnp.float32)
-    fpx, fpy, fpz, gcx, gcy, gcz, lc = lax.fori_loop(
-        0, 27, force_body, (z, z, z, z, z, z, z))
-
-    # Surface tension + gravity, acc assembly (SPHFluid.comp:156-166)
-    glen = jnp.sqrt(gcx * gcx + gcy * gcy + gcz * gcz)
-    st = jnp.where(glen > C.SURFACE_THRESHOLD,
-                   -params.surface_tension * lc / jnp.maximum(glen, 1e-30), 0.0)
-    rho_safe = jnp.maximum(rho_p, 1e-12)
-    ax = (fpx + st * gcx + params.gravity[0] * rho_p) / rho_safe
-    ay = (fpy + st * gcy + params.gravity[1] * rho_p) / rho_safe
-    az = (fpz + st * gcz + params.gravity[2] * rho_p) / rho_safe
-
-    # Integrate (SPHFluid.comp:169-171)
-    nvx = (cvx + ax * dt) * C.VELOCITY_DAMPING
-    nvy = (cvy + ay * dt) * C.VELOCITY_DAMPING
-    nvz = (cvz + az * dt) * C.VELOCITY_DAMPING
-    npx = cx + nvx * dt
-    npy = cy + nvy * dt
-    npz = cz + nvz * dt
-
-    # XSPH sweep: fresh self (np*, nv*) vs stale neighbors (bins planes)
-    def xsph_body(o, carry):
-        xx, xy, xz, norm = carry
-        dc = offs[o]
-        sx = lax.dynamic_slice_in_dim(bins.px, halo + dc, num_cells, axis=1)
-        sy = lax.dynamic_slice_in_dim(bins.py, halo + dc, num_cells, axis=1)
-        sz = lax.dynamic_slice_in_dim(bins.pz, halo + dc, num_cells, axis=1)
-        svx = lax.dynamic_slice_in_dim(bins.vx, halo + dc, num_cells, axis=1)
-        svy = lax.dynamic_slice_in_dim(bins.vy, halo + dc, num_cells, axis=1)
-        svz = lax.dynamic_slice_in_dim(bins.vz, halo + dc, num_cells, axis=1)
-        srho = lax.dynamic_slice_in_dim(rho_pad, halo + dc, num_cells, axis=1)
-        is_zero_off = (o == zero_off)
-        for k2 in range(cap):
-            dx = npx - sx[k2][None, :]
-            dy = npy - sy[k2][None, :]
-            dz = npz - sz[k2][None, :]
-            r2 = dx * dx + dy * dy + dz * dz
-            self_pair = is_zero_off & (jnp.arange(cap) == k2)[:, None]
-            m = (r2 < h2) & ~self_pair
-            w = jnp.where(m, K.poly6(r2, params.h), 0.0)
-            mw = w * params.mass / jnp.maximum(srho[k2], 1e-12)[None, :]
-            xx = xx + mw * (svx[k2][None, :] - nvx)
-            xy = xy + mw * (svy[k2][None, :] - nvy)
-            xz = xz + mw * (svz[k2][None, :] - nvz)
-            norm = norm + w
-        return (xx, xy, xz, norm)
-
-    xx, xy, xz, norm = lax.fori_loop(0, 27, xsph_body, (z, z, z, z))
-    inv = jnp.where(norm > 0.0, C.XSPH_COEFF / jnp.maximum(norm, 1e-30), 0.0)
-    nvx = nvx + inv * xx
-    nvy = nvy + inv * xy
-    nvz = nvz + inv * xz
-
-    # Speed cap (SPHFluid.comp:203-207)
-    max_speed = C.CFL_FRACTION * h / jnp.maximum(dt, 1e-6)
-    sp = jnp.sqrt(nvx * nvx + nvy * nvy + nvz * nvz)
-    scale = jnp.where(sp > max_speed, max_speed / jnp.maximum(sp, 1e-30), 1.0)
-    nvx, nvy, nvz = nvx * scale, nvy * scale, nvz * scale
-
-    return (npx, npy, npz), (nvx, nvy, nvz), (ax, ay, az)
+        px=S.pad_plane(planes[0], dims, SENTINEL_POS),
+        py=S.pad_plane(planes[1], dims, SENTINEL_POS),
+        pz=S.pad_plane(planes[2], dims, SENTINEL_POS),
+        vx=S.pad_plane(planes[3], dims),
+        vy=S.pad_plane(planes[4], dims),
+        vz=S.pad_plane(planes[5], dims),
+        ghost_on=S.pad_plane(planes[6], dims),
+        in_bin=in_bin, overflow=overflow)
 
 
 def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
@@ -370,6 +177,7 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     identity lives in spawn order via orig_id; see engine docs)."""
     dims = config.grid_dims
     cap = config.cell_capacity
+    unroll = config.sweep_unroll
     num_cells = int(np.prod(dims))
 
     key = compute_keys(state, params, dims)
@@ -378,23 +186,55 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     bins = build_bins(s, params, dims, cap)
 
     # --- density (plane layout) ---
-    rho_raw = density_sweep(bins, params, dims, cap)
+    rho_raw = S.density_sweep(bins, params, dims, cap, unroll)
     rho0 = params.rest_density
     rho_p = jnp.maximum(rho_raw, C.DENSITY_FLOOR_FRAC * rho0)
     pres_p = jnp.maximum(params.gas_constant * (rho_p - rho0), 0.0)
-    halo = halo_size(dims)
-    g_on = _center(bins.ghost_on, num_cells, halo) > 0.0
+    g_on = S.center(bins.ghost_on, dims) > 0.0
     rho_p = jnp.where(g_on, rho0, rho_p)
     pres_p = jnp.where(g_on, 0.0, pres_p)
+    rho_pad = S.pad_plane(rho_p, dims, 1.0)
+    pres_pad = S.pad_plane(pres_p, dims)
 
-    # --- force + integrate + xsph (plane layout) ---
-    (npx, npy, npz), (nvx, nvy, nvz), (ax, ay, az) = \
-        force_integrate_xsph_sweep(bins, rho_p, pres_p, params, dt, dims, cap)
+    # --- force sweep + acc assembly (SPHFluid.comp:156-166) ---
+    fx, fy, fz, gcx, gcy, gcz, lc = S.force_sweep(
+        bins, rho_p, pres_p, rho_pad, pres_pad, params, dims, cap, unroll)
+    glen = jnp.sqrt(gcx * gcx + gcy * gcy + gcz * gcz)
+    st_mag = jnp.where(glen > C.SURFACE_THRESHOLD,
+                       -params.surface_tension * lc / jnp.maximum(glen, 1e-30),
+                       0.0)
+    rho_safe = jnp.maximum(rho_p, 1e-12)
+    ax = (fx + st_mag * gcx + params.gravity[0] * rho_p) / rho_safe
+    ay = (fy + st_mag * gcy + params.gravity[1] * rho_p) / rho_safe
+    az = (fz + st_mag * gcz + params.gravity[2] * rho_p) / rho_safe
+
+    # --- integrate (SPHFluid.comp:169-171) ---
+    cvx = S.center(bins.vx, dims)
+    cvy = S.center(bins.vy, dims)
+    cvz = S.center(bins.vz, dims)
+    nvx = (cvx + ax * dt) * C.VELOCITY_DAMPING
+    nvy = (cvy + ay * dt) * C.VELOCITY_DAMPING
+    nvz = (cvz + az * dt) * C.VELOCITY_DAMPING
+    npx = S.center(bins.px, dims) + nvx * dt
+    npy = S.center(bins.py, dims) + nvy * dt
+    npz = S.center(bins.pz, dims) + nvz * dt
+
+    # --- XSPH + speed cap ---
+    xx, xy, xz, norm = S.xsph_sweep(bins, rho_pad, npx, npy, npz,
+                                    nvx, nvy, nvz, params, dims, cap, unroll)
+    inv = jnp.where(norm > 0.0, C.XSPH_COEFF / jnp.maximum(norm, 1e-30), 0.0)
+    nvx = nvx + inv * xx
+    nvy = nvy + inv * xy
+    nvz = nvz + inv * xz
+    max_speed = C.CFL_FRACTION * params.h / jnp.maximum(dt, 1e-6)
+    sp = jnp.sqrt(nvx * nvx + nvy * nvy + nvz * nvz)
+    scale = jnp.where(sp > max_speed, max_speed / jnp.maximum(sp, 1e-30), 1.0)
+    nvx, nvy, nvz = nvx * scale, nvy * scale, nvz * scale
 
     # --- one row gather back to (sorted) particle order ---
     results = jnp.stack([npx, npy, npz, nvx, nvy, nvz, ax, ay, az,
-                         rho_p, pres_p], axis=0)       # [11, K, C]
-    flat = results.reshape(11, cap * num_cells).T      # [C*K, 11] row-major
+                         rho_p, pres_p], axis=0)       # [11, K, rows, nx]
+    flat = results.reshape(11, cap * num_cells).T      # [K*C, 11]
     pslot = jnp.minimum(s.rank, cap - 1) * num_cells + jnp.minimum(
         s.key, num_cells - 1)
     per_particle = flat[pslot]                          # [N, 11] one row gather
