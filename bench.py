@@ -22,6 +22,7 @@ REFERENCE_BASELINE_PSTEPS = 4.8e7
 def main() -> None:
     config_name = sys.argv[1] if len(sys.argv) > 1 else "ghost_1m"
     n_substeps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    impl_override = sys.argv[3] if len(sys.argv) > 3 else None
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -37,7 +38,7 @@ def main() -> None:
         sys.exit(f"unknown config '{config_name}'; "
                  f"available: {', '.join(sorted(AC.CONFIGS))}")
     cfg = AC.CONFIGS[config_name]
-    state, params, sim = AC.build(cfg)
+    state, params, sim = AC.build(cfg, neighbor_impl=impl_override)
     buffers = SceneBuffers.create(sim)
     n_fluid = int(np.asarray(state.fluid_mask()).sum())
     print(f"[bench] config={config_name} fluid={n_fluid} padded={state.n} "

@@ -1,0 +1,228 @@
+"""Monotone butterfly expand/compact — the TPU-shaped scatter/gather.
+
+XLA's general scatter/gather lower to a slow row-at-a-time path on TPU
+(measured at 1M particles: ~50-90 ms to scatter-build the bin table,
+~16 ms to gather it back).  But the bin-table permutations here are
+MONOTONE — particles are already sorted by cell key, so building the
+``[cell, K]`` slot table just *inserts hole slots* (expand) and reading
+it back *removes them* (compact).  Such permutations factor into
+``log2(slots)`` dense conditional-shift rounds of the form
+
+    take[t]   = live[t - s] and bit_b(dist[t - s])        (s = 2^b)
+    x[t]      = take[t] ? x[t - s]    : x[t]
+    dist[t]   = take[t] ? dist[t-s]-s : dist[t]
+    live[t]   = take[t] or (live[t] and not bit_b(dist[t]))
+
+— pure elementwise selects + static slices that run at HBM bandwidth.
+``dist`` (the remaining travel distance) and ``live`` (is this slot the
+element's current position, not a stale copy) ride along with the data.
+Expand moves right processing bits HIGH->LOW; compact moves left
+processing LOW->HIGH; in both directions the live elements' positions
+stay strictly ordered, so no element is ever overwritten before it
+settles.  ``tests/test_expand.py`` checks both against a numpy oracle
+over thousands of random occupancy patterns.
+
+Monotonicity of dist requires zero cell overflow (rank < K everywhere).
+The wrappers detect overflow and ``lax.cond`` into the slow-but-general
+scatter/gather path for those (rare, splash-compression) steps.
+
+Shifts stay small (rounds ~= log2(nz*nx*K)) by working per y-slab:
+slab sources are first aligned to slab origins with a batched
+``dynamic_slice`` (ny big contiguous DMAs — fast), and the inverse
+stitching uses ascending overwrite: slab y writes its full padded row at
+``pstart[y]``; the garbage tail is overwritten by slab y+1.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sph_tpu.neighbors.planes import PlaneGeom
+
+
+class ExpandGeom(NamedTuple):
+    ny: int
+    cps: int     # cells per slab = nz * nx
+    cap: int     # K
+
+    @property
+    def slots(self) -> int:
+        return self.cps * self.cap
+
+    @property
+    def rounds(self) -> int:
+        return max(1, math.ceil(math.log2(self.slots)))
+
+
+def expand_geom(geom: PlaneGeom) -> ExpandGeom:
+    return ExpandGeom(ny=geom.ny, cps=geom.nz * geom.nx, cap=geom.cap)
+
+
+def cell_starts(key: jax.Array, num_cells: int) -> Tuple[jax.Array, jax.Array]:
+    """(exclusive start [C+1], count [C]) per cell from sorted keys.
+
+    Scatter-add of ones at ascending indices — the one scatter form that
+    is fast on TPU (~2 ms at 1M into 2.4M cells)."""
+    counts = jnp.zeros((num_cells + 1,), jnp.int32).at[key].add(
+        1, mode="drop")
+    counts = counts[:num_cells]
+    start = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts, dtype=jnp.int32)])
+    return start, counts
+
+
+def _slab_align(rows: jax.Array, starts: jax.Array, slots: int) -> jax.Array:
+    """[Npad + slots, F] sorted rows -> [ny, slots, F] slab-aligned rows."""
+    def one(s):
+        return lax.dynamic_slice(rows, (s, 0), (slots, rows.shape[1]))
+    return jax.vmap(one)(starts)
+
+
+def _butterfly(x, dist, live, rounds: int, direction: int):
+    """Shared conditional-shift rounds over [ny, S, F] x / [ny, S] dist+live.
+
+    direction +1: move right, bits HIGH->LOW (expand).
+    direction -1: move left,  bits LOW->HIGH (compact).
+    """
+    s = x.shape[1]
+    order = reversed(range(rounds)) if direction > 0 else range(rounds)
+    for b in order:
+        sh = 1 << b
+        if direction > 0:
+            xs = jnp.pad(x, ((0, 0), (sh, 0), (0, 0)))[:, :s]
+            ds = jnp.pad(dist, ((0, 0), (sh, 0)))[:, :s]
+            ls = jnp.pad(live, ((0, 0), (sh, 0)))[:, :s]
+        else:
+            xs = jnp.pad(x, ((0, 0), (0, sh), (0, 0)))[:, sh:]
+            ds = jnp.pad(dist, ((0, 0), (0, sh)))[:, sh:]
+            ls = jnp.pad(live, ((0, 0), (0, sh)))[:, sh:]
+        take = ls & (((ds >> b) & 1) == 1)
+        vacate = live & (((dist >> b) & 1) == 1)
+        x = jnp.where(take[..., None], xs, x)
+        dist = jnp.where(take, ds - sh, dist)
+        live = take | (live & ~vacate)
+    return x, live
+
+
+def expand_butterfly(sorted_fields: jax.Array, key: jax.Array,
+                     rank: jax.Array, eg: ExpandGeom,
+                     hole_fill: jax.Array) -> jax.Array:
+    """[N, F] sorted rows -> [ny, cps, K, F] slot table (assumes rank < K).
+
+    Invalid/padding rows must carry the spill key (ny*cps): they land
+    beyond every slab and never enter a table slot."""
+    n, f = sorted_fields.shape
+    k = eg.cap
+    s = eg.slots
+    num_cells = eg.ny * eg.cps
+
+    start, counts = cell_starts(key, num_cells)
+    slab_starts = start[jnp.arange(eg.ny, dtype=jnp.int32) * eg.cps]
+    slab_counts = jnp.concatenate([slab_starts[1:], start[-1:]]) - slab_starts
+
+    padded = jnp.concatenate(
+        [sorted_fields, jnp.zeros((s, f), sorted_fields.dtype)], axis=0)
+    x = _slab_align(padded, slab_starts, s)              # [ny, S, F]
+
+    kr = jnp.stack([key, jnp.minimum(rank, k - 1)], axis=1)
+    kr = jnp.concatenate([kr, jnp.zeros((s, 2), jnp.int32)], axis=0)
+    kr_slab = _slab_align(kr, slab_starts, s)            # [ny, S, 2]
+    local_cell = jnp.clip(
+        kr_slab[..., 0]
+        - (jnp.arange(eg.ny, dtype=jnp.int32) * eg.cps)[:, None],
+        0, eg.cps - 1)
+    t_idx = jnp.arange(s, dtype=jnp.int32)[None, :]
+    dist = jnp.maximum(local_cell * k + kr_slab[..., 1] - t_idx, 0)
+    live = t_idx < slab_counts[:, None]
+
+    x, live = _butterfly(x, dist, live, eg.rounds, direction=+1)
+
+    # hole slots (k >= count) keep the fill value
+    counts_slab = counts.reshape(eg.ny, eg.cps)
+    k_of = jnp.tile(jnp.arange(k, dtype=jnp.int32), eg.cps)[None, :]
+    occupied = k_of < jnp.repeat(counts_slab, k, axis=1)
+    x = jnp.where(occupied[..., None], x, hole_fill[None, None, :])
+    return x.reshape(eg.ny, eg.cps, k, f)
+
+
+def expand_scatter(sorted_fields: jax.Array, key: jax.Array, rank: jax.Array,
+                   eg: ExpandGeom, hole_fill: jax.Array) -> jax.Array:
+    """General fallback: XLA row scatter (slow on TPU, handles overflow)."""
+    n, f = sorted_fields.shape
+    k = eg.cap
+    total = eg.ny * eg.cps * k
+    in_bin = (rank < k) & (key < eg.ny * eg.cps)
+    slot = jnp.where(in_bin, key * k + rank, total)
+    table = jnp.broadcast_to(hole_fill[None, :], (total + 1, f))
+    table = table.at[slot].set(sorted_fields, mode="drop",
+                               unique_indices=True)
+    return table[:total].reshape(eg.ny, eg.cps, k, f)
+
+
+def expand(sorted_fields, key, rank, overflow, eg: ExpandGeom, hole_fill):
+    """Butterfly when no cell overflowed this step, scatter otherwise."""
+    fill = jnp.asarray(hole_fill, sorted_fields.dtype)
+    return lax.cond(
+        overflow == 0,
+        lambda a: expand_butterfly(a, key, rank, eg, fill),
+        lambda a: expand_scatter(a, key, rank, eg, fill),
+        sorted_fields)
+
+
+def compact_butterfly(table: jax.Array, key: jax.Array, rank: jax.Array,
+                      eg: ExpandGeom, n_out: int) -> jax.Array:
+    """[ny, cps, K, F] slot table -> [n_out, F] rows in sorted particle
+    order (assumes rank < K everywhere; spill rows come back zero)."""
+    k = eg.cap
+    s = eg.slots
+    f = table.shape[-1]
+    num_cells = eg.ny * eg.cps
+
+    start, counts = cell_starts(key, num_cells)
+    slab_starts = start[jnp.arange(eg.ny, dtype=jnp.int32) * eg.cps]
+
+    counts_slab = counts.reshape(eg.ny, eg.cps)
+    local_start = (start[:num_cells].reshape(eg.ny, eg.cps)
+                   - slab_starts[:, None])
+    k_of = jnp.tile(jnp.arange(k, dtype=jnp.int32), eg.cps)[None, :]
+    counts_rep = jnp.repeat(counts_slab, k, axis=1)
+    dest = (jnp.repeat(local_start, k, axis=1)
+            + jnp.minimum(k_of, counts_rep))
+    t_idx = jnp.arange(s, dtype=jnp.int32)[None, :]
+    dist = jnp.maximum(t_idx - dest, 0)
+    live = k_of < counts_rep
+
+    x = table.reshape(eg.ny, s, f)
+    x, _ = _butterfly(x, dist, live, eg.rounds, direction=-1)
+
+    # ascending-overwrite stitch: slab y+1 overwrites slab y's garbage tail
+    out = jnp.zeros((n_out + s, f), table.dtype)
+
+    def body(y, acc):
+        return lax.dynamic_update_slice(acc, x[y], (slab_starts[y], 0))
+
+    return lax.fori_loop(0, eg.ny, body, out)[:n_out]
+
+
+def compact_gather(table: jax.Array, key: jax.Array, rank: jax.Array,
+                   eg: ExpandGeom, n_out: int) -> jax.Array:
+    """General fallback: XLA row gather (slow on TPU, handles overflow).
+    Out-of-bin rows read a clamped slot; callers mask them anyway."""
+    k = eg.cap
+    flat = table.reshape(eg.ny * eg.cps * k, table.shape[-1])
+    slot = (jnp.minimum(key[:n_out], eg.ny * eg.cps - 1) * k
+            + jnp.minimum(rank[:n_out], k - 1))
+    return flat[slot]
+
+
+def compact(table, key, rank, overflow, eg: ExpandGeom, n_out: int):
+    return lax.cond(
+        overflow == 0,
+        lambda t: compact_butterfly(t, key, rank, eg, n_out),
+        lambda t: compact_gather(t, key, rank, eg, n_out),
+        table)

@@ -1,0 +1,289 @@
+"""Plane-table geometry + construction for the Pallas sweep kernels.
+
+The Pallas neighbor engine (``pallas_sweeps.py``) consumes per-field
+"chunked planes": dense ``[K, ny+2, n_chunks, CW + 2*H]`` f32 arrays where
+
+- ``K``       = cell capacity (slot index, the f32 sublane dim = 8),
+- ``ny+2``    = y cell rows with a +-1 halo (gravity is -Y, so empty-space
+                skipping is most effective when y is the program axis),
+- lanes       = the (z, x) plane flattened as ``zx = zp * nxp + xp`` with
+                per-axis +-1 halos baked in (``nxp = nx+2``), chunked into
+                ``n_chunks`` windows of ``CW`` lanes, each carrying
+                ``H = nxp + 1`` extra halo lanes per side so that every
+                neighbor-cell offset (dy, dz, dx) is a *static lane slice*:
+                ``lane_off = H + dz * nxp + dx``.
+
+Cells beyond the container grid and empty slots hold a far-away sentinel
+position, so the ``r^2 < h^2`` test eliminates them with no flag traffic
+(same trick as ``binned.py``).
+
+The construction path is: y-major cell keys -> 9-operand ``lax.sort`` ->
+per-cell rank -> one ascending packed row scatter into the padded table ->
+transpose to slot-major planes -> chunk.  See SURVEY.md §7 ("hard parts")
+for why sort-based binning replaces the reference's atomicExchange linked
+lists (``BuildGrid.comp:36``).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sph_tpu.core.params import FluidParams, SimConfig, grid_min as grid_min_fn
+from sph_tpu.core.state import ParticleState
+
+SENTINEL_POS = 1.0e7
+
+# meta bit packing: oid[0:22] ghost[22] active[23] valid[24] contrib[25]
+# face+1[26:29] color_group[29]
+_OID_BITS = 22
+_OID_MASK = (1 << _OID_BITS) - 1
+
+
+class PlaneGeom(NamedTuple):
+    nx: int
+    ny: int
+    nz: int
+    cap: int        # K slots per cell
+    n_chunks: int
+
+    @property
+    def nxp(self) -> int:
+        return self.nx + 2
+
+    @property
+    def nyp(self) -> int:
+        return self.ny + 2
+
+    @property
+    def nzp(self) -> int:
+        return self.nz + 2
+
+    @property
+    def num_cells(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    @property
+    def nzx(self) -> int:
+        return self.nzp * self.nxp
+
+    @property
+    def halo(self) -> int:
+        return self.nxp + 1
+
+    @property
+    def cw(self) -> int:
+        return -(-self.nzx // self.n_chunks)
+
+    @property
+    def nzxp(self) -> int:
+        return self.cw * self.n_chunks
+
+    @property
+    def cwh(self) -> int:
+        return self.cw + 2 * self.halo
+
+    @property
+    def padded_cells(self) -> int:
+        return self.nyp * self.nzp * self.nxp
+
+
+def geom_for(config: SimConfig, max_cwh: int = 8704) -> PlaneGeom:
+    nx, ny, nz = config.grid_dims
+    nzx = (nz + 2) * (nx + 2)
+    halo = nx + 3
+    n_chunks = 1
+    while -(-nzx // n_chunks) + 2 * halo > max_cwh:
+        n_chunks += 1
+    return PlaneGeom(nx=nx, ny=ny, nz=nz, cap=config.cell_capacity,
+                     n_chunks=n_chunks)
+
+
+def compute_keys_ymajor(pos: jax.Array, valid: jax.Array,
+                        params: FluidParams, geom: PlaneGeom) -> jax.Array:
+    """y-major cell key ``x + nx*(z + nz*y)``; invalid -> spill key C."""
+    gmin = grid_min_fn(params)
+    c = jnp.floor((pos - gmin[None, :]) / params.h).astype(jnp.int32)
+    dims = jnp.asarray([geom.nx, geom.ny, geom.nz], jnp.int32)
+    c = jnp.clip(c, 0, dims[None, :] - 1)
+    key = c[:, 0] + geom.nx * (c[:, 2] + geom.nz * c[:, 1])
+    return jnp.where(valid > 0, key, geom.num_cells)
+
+
+def pack_meta(state: ParticleState, contrib: jax.Array) -> jax.Array:
+    return (
+        (state.orig_id & _OID_MASK)
+        | ((state.ghost & 1) << 22)
+        | ((state.active & 1) << 23)
+        | ((state.valid & 1) << 24)
+        | (contrib.astype(jnp.int32) << 25)
+        | (((jnp.clip(state.face, -1, 5) + 1) & 7) << 26)
+        | ((state.color_group & 1) << 29)
+    )
+
+
+class MetaFields(NamedTuple):
+    orig_id: jax.Array
+    ghost: jax.Array
+    active: jax.Array
+    valid: jax.Array
+    contrib: jax.Array
+    face: jax.Array
+    color_group: jax.Array
+
+
+def unpack_meta(meta: jax.Array) -> MetaFields:
+    return MetaFields(
+        orig_id=meta & _OID_MASK,
+        ghost=(meta >> 22) & 1,
+        active=(meta >> 23) & 1,
+        valid=(meta >> 24) & 1,
+        contrib=(meta >> 25) & 1,
+        face=((meta >> 26) & 7) - 1,
+        color_group=(meta >> 29) & 1,
+    )
+
+
+class Sorted(NamedTuple):
+    key: jax.Array    # [N] i32 ascending (spill = num_cells)
+    rank: jax.Array   # [N] i32 index within cell
+    pos: jax.Array    # [N,3]
+    vel: jax.Array    # [N,3]
+    foam: jax.Array   # [N]
+    meta: jax.Array   # [N] i32 packed
+
+
+def sort_particles(state: ParticleState, key: jax.Array,
+                   contrib: jax.Array) -> Sorted:
+    """9-operand stable sort by cell key (the TPU BuildGrid)."""
+    n = state.n
+    meta = pack_meta(state, contrib)
+    skey, px, py, pz, vx, vy, vz, foam, smeta = lax.sort(
+        (key, state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+         state.foam, meta),
+        dimension=0, num_keys=1, is_stable=True)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    seg_start = lax.associative_scan(jnp.maximum,
+                                     jnp.where(is_start, iota, 0))
+    return Sorted(key=skey, rank=iota - seg_start,
+                  pos=jnp.stack([px, py, pz], -1),
+                  vel=jnp.stack([vx, vy, vz], -1),
+                  foam=foam, meta=smeta)
+
+
+def to_particle_state(s: Sorted, density: jax.Array, pressure: jax.Array,
+                      acc: jax.Array) -> ParticleState:
+    m = unpack_meta(s.meta)
+    return ParticleState(
+        pos=s.pos, vel=s.vel, acc=acc, density=density, pressure=pressure,
+        foam=s.foam, ghost=m.ghost, active=m.active, face=m.face,
+        color_group=m.color_group, valid=m.valid, orig_id=m.orig_id)
+
+
+def padded_cell_index(key: jax.Array, geom: PlaneGeom) -> jax.Array:
+    """Interior cell key -> index in the (y,z,x)-padded cell space."""
+    x = key % geom.nx
+    z = (key // geom.nx) % geom.nz
+    y = key // (geom.nx * geom.nz)
+    return (x + 1) + geom.nxp * ((z + 1) + geom.nzp * (y + 1))
+
+
+def chunk_lanes(plane: jax.Array, geom: PlaneGeom,
+                sentinel: float) -> jax.Array:
+    """[..., NZX] -> [..., n_chunks, CWH] with halo + tail padding baked in."""
+    lead = plane.shape[:-1]
+    h, cw = geom.halo, geom.cw
+    tail = geom.nzxp - geom.nzx + h
+    full = jnp.pad(plane, [(0, 0)] * len(lead) + [(h, tail)],
+                   constant_values=sentinel)
+    chunks = [lax.slice_in_dim(full, c * cw, c * cw + geom.cwh, axis=-1)
+              for c in range(geom.n_chunks)]
+    return jnp.stack(chunks, axis=-2)
+
+
+class Planes(NamedTuple):
+    """Chunked field planes [K, nyp, n_chunks, CWH] + occupancy metadata."""
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    vz: jax.Array
+    ghost_on: jax.Array
+    occ3: jax.Array      # [ny, n_chunks] i32: max slot bound over y+-1 & chunk
+    in_bin: jax.Array    # [N] bool
+    overflow: jax.Array  # [] i32
+
+
+def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
+    k = geom.cap
+    num_cells = geom.num_cells
+    pc_count = geom.padded_cells
+    n = s.key.shape[0]
+
+    m = unpack_meta(s.meta)
+    contrib = m.contrib > 0
+    in_bin = (s.rank < k) & (s.key < num_cells)
+    pc = padded_cell_index(s.key, geom)
+    slot = jnp.where(in_bin, pc * k + s.rank, pc_count * k)
+
+    src_pos = jnp.where(contrib[:, None], s.pos, SENTINEL_POS)
+    packed = jnp.concatenate([
+        src_pos, s.vel,
+        (contrib & (m.ghost > 0)).astype(jnp.float32)[:, None],
+        jnp.zeros((n, 1), jnp.float32),
+    ], axis=1)                                            # [N, 8]
+
+    table = jnp.concatenate([
+        jnp.full((pc_count * k + 1, 3), SENTINEL_POS, jnp.float32),
+        jnp.zeros((pc_count * k + 1, 5), jnp.float32)], axis=1)
+    table = table.at[slot].set(packed, mode="drop", unique_indices=True)
+    table = table[:pc_count * k]
+
+    # [Cp*K, 8] -> [Cp, K, 8] -> [8, K, Cp] -> [8, K, nyp, NZX]
+    planes = jnp.transpose(table.reshape(pc_count, k, 8), (2, 1, 0))
+    planes = planes.reshape(8, k, geom.nyp, geom.nzx)
+
+    # Slot bound per cell from the sentinel pattern (max occupied slot + 1),
+    # then max over each chunk window and the 3 y-rows feeding program y.
+    occupied = planes[0] < SENTINEL_POS * 0.5            # [K, nyp, NZX]
+    slot_ids = jnp.arange(1, k + 1, dtype=jnp.int32).reshape(k, 1, 1)
+    occ_cell = jnp.max(jnp.where(occupied, slot_ids, 0), axis=0)  # [nyp, NZX]
+    occ_chunk = jnp.max(chunk_lanes(occ_cell, geom, 0.0), axis=-1)  # [nyp, nc]
+    occ3 = jnp.maximum(jnp.maximum(occ_chunk[:-2], occ_chunk[1:-1]),
+                       occ_chunk[2:])                    # [ny, n_chunks]
+
+    overflow = jnp.sum(((s.rank >= k) & (s.key < num_cells)
+                        & (m.valid > 0)).astype(jnp.int32))
+
+    cp = lambda i, sent=0.0: chunk_lanes(planes[i], geom, sent)
+    return Planes(
+        px=cp(0, SENTINEL_POS), py=cp(1, SENTINEL_POS),
+        pz=cp(2, SENTINEL_POS),
+        vx=cp(3), vy=cp(4), vz=cp(5), ghost_on=cp(6),
+        occ3=occ3, in_bin=in_bin, overflow=overflow)
+
+
+def center_from_chunks(plane: jax.Array, geom: PlaneGeom) -> jax.Array:
+    """[K, nyp, n_chunks, CWH] -> interior [K, ny, NZXp] (lane-padded zx)."""
+    h = geom.halo
+    interior = plane[:, 1:1 + geom.ny, :, h:h + geom.cw]
+    return interior.reshape(plane.shape[0], geom.ny, geom.nzxp)
+
+
+def out_flat_index(s: Sorted, geom: PlaneGeom) -> jax.Array:
+    """Per sorted particle: flat index into stacked kernel outputs
+    ``[K, ny, NZXp]`` (clamped for out-of-bin particles; mask separately)."""
+    key = jnp.minimum(s.key, geom.num_cells - 1)
+    rank = jnp.minimum(s.rank, geom.cap - 1)
+    x = key % geom.nx
+    z = (key // geom.nx) % geom.nz
+    y = key // (geom.nx * geom.nz)
+    lane = (z + 1) * geom.nxp + (x + 1)
+    return (rank * geom.ny + y) * geom.nzxp + lane
