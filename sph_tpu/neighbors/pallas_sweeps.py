@@ -1,30 +1,38 @@
 """Pallas TPU neighbor-sweep kernels — the hot path of the framework.
 
 Replaces the XLA binned-plane sweeps (``binned_sweeps.py``) with three
-fused Mosaic kernels over the chunked planes built by ``planes.py``:
+fused Mosaic kernels over cell-block planes built by ``planes.py``:
 
 1. **density**  — poly6 pair sums (``shaders/SPHFluid.comp:89-106``)
 2. **force**    — spiky-gradient pressure + viscosity Laplacian +
    color-field surface tension accumulators, fused with gravity assembly
    and semi-implicit Euler integration (``SPHFluid.comp:109-171``)
-3. **xsph**     — XSPH velocity smoothing vs stale neighbors
+3. **xsph**     — XSPH velocity smoothing vs pre-move neighbors
    (``SPHFluid.comp:177-201``)
 
 Kernel structure (all three share it):
 
-- grid = ``(ny, n_chunks, K)`` with the source-slot index ``k2``
-  innermost; destination blocks are ``(K, CW)`` tiles (all K slots of a
-  y-row chunk, K = 8 = the f32 sublane count, so the VPU is fully used).
-- A scalar-prefetched occupancy bound ``occ3[y, chunk]`` (max occupied
-  slot over the 3 contributing y-rows and the chunk + halo lanes) gates
-  everything: programs with ``k2 >= occ3`` skip their compute AND their
-  DMA (their index_map re-points at the previous block, which Pallas
-  recognizes as "no refetch").  Empty space costs nothing — this is what
-  the reference gets from dispatching only ceil(N/256) workgroups.
+- Planes are ``[nyp, n_chunks, K, CWH]`` per field: y cell rows with a
+  +-1 halo, the (z, x) plane flattened to lanes and chunked into
+  ``CW``-lane windows carrying ``H = nxp + 1`` halo lanes per side, and
+  K = 8 cell slots on the f32 sublane dim (full VPU rows).
+- grid = ``(ny, n_chunks)``; each program DMAs, per field, the 3
+  contributing y-rows as whole ``(K, CWH)`` blocks — every source row
+  is fetched ONCE per destination chunk (not once per slot), and the
+  center view doubles as the destination block (no separate dst fetch).
+- The source-slot loop ``k2`` is a static 8-iteration unroll *inside*
+  the kernel; each iteration is wrapped in ``pl.when(k2 < occ)`` where
+  ``occ = occ3[y, chunk]`` is a scalar-prefetched bound on the max
+  occupied slot over the 3 contributing y-rows + halo lanes — compute
+  scales with real occupancy, and fully-empty chunks skip everything
+  (the TPU equivalent of the reference dispatching only ceil(N/256)
+  workgroups).
 - Every neighbor-cell offset (dy, dz, dx) is a *static lane slice*
-  ``src[H + dz*nxp + dx : +CW]`` of the halo-extended chunk, so the 27
-  sweeps compile to pure VPU code with zero gathers (the TPU-shaped
+  ``src[k2, H + dz*nxp + dx : +CW]`` of the halo-extended chunk, so the
+  27 sweeps compile to pure VPU code with zero gathers (the TPU-shaped
   replacement for the linked-list walks in ``SPHFluid.comp:92-103``).
+- Empty slots and out-of-grid cells hold a far-away sentinel position,
+  so the ``r^2 < h^2`` test removes them with no flag traffic.
 
 Physics semantics are identical to ``physics/brute_force.py`` (the
 oracle) and ``neighbors/binned.py``; see ``physics/common.py``.
@@ -85,55 +93,57 @@ def _offsets(geom: PL.PlaneGeom):
 
 
 def _src_spec(geom: PL.PlaneGeom, view: int) -> pl.BlockSpec:
-    def imap(y, c, k2, occ, pvec):
-        kk = jnp.minimum(k2, jnp.maximum(occ[y, c] - 1, 0))
-        return (kk, y + view, c, 0)
-    return pl.BlockSpec((1, 1, 1, geom.cwh), imap,
-                        memory_space=pltpu.VMEM)
-
-
-def _dst_spec(geom: PL.PlaneGeom) -> pl.BlockSpec:
-    return pl.BlockSpec((geom.cap, 1, 1, geom.cwh),
-                        lambda y, c, k2, occ, pvec: (0, y + 1, c, 0),
+    return pl.BlockSpec((1, 1, geom.cap, geom.cwh),
+                        lambda y, c, occ, pvec, v=view: (y + v, c, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _dstout_spec(geom: PL.PlaneGeom) -> pl.BlockSpec:
-    """Destination block over a force-kernel *output* array (no halo)."""
-    return pl.BlockSpec((geom.cap, 1, 1, geom.cw),
-                        lambda y, c, k2, occ, pvec: (0, y, c, 0),
+    """Block over a force-kernel *output* array (no halo) used as input."""
+    return pl.BlockSpec((1, 1, geom.cap, geom.cw),
+                        lambda y, c, occ, pvec: (y, c, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _out_spec(geom: PL.PlaneGeom) -> pl.BlockSpec:
-    return pl.BlockSpec((geom.cap, 1, 1, geom.cw),
-                        lambda y, c, k2, occ, pvec: (0, y, c, 0),
+    return pl.BlockSpec((1, 1, geom.cap, geom.cw),
+                        lambda y, c, occ, pvec: (y, c, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _out_shape(geom: PL.PlaneGeom) -> jax.ShapeDtypeStruct:
     return jax.ShapeDtypeStruct(
-        (geom.cap, geom.ny, geom.n_chunks, geom.cw), jnp.float32)
+        (geom.ny, geom.n_chunks, geom.cap, geom.cw), jnp.float32)
 
 
 def _grid_spec(geom: PL.PlaneGeom, in_specs: Sequence[pl.BlockSpec],
                out_specs, scratch_shapes=()):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(geom.ny, geom.n_chunks, geom.cap),
+        grid=(geom.ny, geom.n_chunks),
         in_specs=list(in_specs),
         out_specs=out_specs,
         scratch_shapes=list(scratch_shapes))
 
 
-def _views(ref):
-    """Chunked-plane src ref -> its full lane row (CWH,)."""
-    return ref[0, 0, 0, :]
+# The unrolled 8-slot x 27-offset pair loops carry wide temporaries;
+# raise the default 16 MiB scoped-VMEM ceiling so the compiler can keep
+# them resident instead of failing (v5e has 128 MiB VMEM per core).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _center(ref, geom):
-    """Destination (K,1,1,CWH) ref -> interior (K, CW)."""
-    return ref[:, 0, 0, geom.halo:geom.halo + geom.cw]
+def _src_rows(refs):
+    """3 chunked-plane src refs -> their (K, CWH) blocks."""
+    return [r[0, 0] for r in refs]
+
+
+def _center(rows, geom):
+    """Center-view (K, CWH) block -> interior (K, CW) destination."""
+    return rows[1][:, geom.halo:geom.halo + geom.cw]
+
+
+def _self_mask(k2: int, geom: PL.PlaneGeom):
+    return lax.broadcasted_iota(jnp.int32, (geom.cap, geom.cw), 0) == k2
 
 
 # ---------------------------------------------------------------------------
@@ -141,58 +151,53 @@ def _center(ref, geom):
 # ---------------------------------------------------------------------------
 
 def _density_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
-    spx = refs[0:3]
-    spy = refs[3:6]
-    spz = refs[6:9]
-    dpx, dpy, dpz = refs[9:12]
-    rho_ref = refs[12]
+    spx, spy, spz = refs[0:3], refs[3:6], refs[6:9]
+    rho_ref = refs[9]
     y = pl.program_id(0)
     c = pl.program_id(1)
-    k2 = pl.program_id(2)
     occ = occ_ref[y, c]
     h2 = pvec_ref[_PV_H2]
     cw = geom.cw
 
-    @pl.when(k2 == 0)
-    def _():
-        rho_ref[...] = jnp.zeros(rho_ref.shape, jnp.float32)
+    rho_ref[...] = jnp.zeros(rho_ref.shape, jnp.float32)
 
-    @pl.when(k2 < occ)
+    @pl.when(occ > 0)
     def _():
-        cx = _center(dpx, geom)
-        cy = _center(dpy, geom)
-        cz = _center(dpz, geom)
-        acc = jnp.zeros((geom.cap, cw), jnp.float32)
-        sx = [_views(r) for r in spx]
-        sy = [_views(r) for r in spy]
-        sz = [_views(r) for r in spz]
-        for v, off, _ in _offsets(geom):
-            ddx = cx - sx[v][off:off + cw]
-            ddy = cy - sy[v][off:off + cw]
-            ddz = cz - sz[v][off:off + cw]
-            r2 = ddx * ddx + ddy * ddy + ddz * ddz
-            d = jnp.maximum(h2 - r2, 0.0)
-            acc = acc + d * d * d
-        rho_ref[:, 0, 0, :] += acc
+        sx = _src_rows(spx)
+        sy = _src_rows(spy)
+        sz = _src_rows(spz)
+        cx = _center(sx, geom)
+        cy = _center(sy, geom)
+        cz = _center(sz, geom)
+        for k2 in range(geom.cap):
+            @pl.when(k2 < occ)
+            def _(k2=k2):
+                acc = jnp.zeros((geom.cap, cw), jnp.float32)
+                for v, off, _ in _offsets(geom):
+                    ddx = cx - sx[v][k2, off:off + cw]
+                    ddy = cy - sy[v][k2, off:off + cw]
+                    ddz = cz - sz[v][k2, off:off + cw]
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    d = jnp.maximum(h2 - r2, 0.0)
+                    acc = acc + d * d * d
+                rho_ref[0, 0] += acc
 
 
 def density_call(planes: PL.Planes, pvec: jax.Array, geom: PL.PlaneGeom,
                  interpret: bool) -> jax.Array:
-    """Raw poly6 pair sums (times mass*coef outside): [K, ny, nc, CW]."""
+    """Raw poly6 pair sums (times mass*coef outside): [ny, nc, K, CW]."""
     in_specs = []
     args = []
     for field in (planes.px, planes.py, planes.pz):
         for v in range(3):
             in_specs.append(_src_spec(geom, v))
             args.append(field)
-    for field in (planes.px, planes.py, planes.pz):
-        in_specs.append(_dst_spec(geom))
-        args.append(field)
     return pl.pallas_call(
         functools.partial(_density_kernel, geom),
         grid_spec=_grid_spec(geom, in_specs, _out_spec(geom)),
         out_shape=_out_shape(geom),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(planes.occ3, pvec, *args)
 
 
@@ -201,15 +206,12 @@ def density_call(planes: PL.Planes, pvec: jax.Array, geom: PL.PlaneGeom,
 # ---------------------------------------------------------------------------
 
 def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
-    # srcs: 8 fields x 3 views; dst: 8 fields; outs: 9; scratch: acc
-    nsrc = 24
+    # srcs: 8 fields x 3 views; outs: 9; scratch: acc (7, K, CW)
     s_fields = [refs[i * 3:(i + 1) * 3] for i in range(8)]
-    (dpx, dpy, dpz, dvx, dvy, dvz, drho, dpres) = refs[nsrc:nsrc + 8]
-    outs = refs[nsrc + 8:nsrc + 17]
-    acc_ref = refs[nsrc + 17]
+    outs = refs[24:33]
+    acc_ref = refs[33]
     y = pl.program_id(0)
     c = pl.program_id(1)
-    k2 = pl.program_id(2)
     occ = occ_ref[y, c]
     cw = geom.cw
     kk = geom.cap
@@ -219,70 +221,73 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     visc_lap_c = pvec_ref[_PV_VISC_LAP]
     mu = pvec_ref[_PV_MU]
 
-    @pl.when(k2 == 0)
-    def _():
-        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
-        for o in outs:
-            o[...] = jnp.zeros(o.shape, jnp.float32)
+    for o in outs:
+        o[...] = jnp.zeros(o.shape, jnp.float32)
 
-    @pl.when(k2 < occ)
+    @pl.when(occ > 0)
     def _():
-        cx = _center(dpx, geom)
-        cy = _center(dpy, geom)
-        cz = _center(dpz, geom)
-        cvx = _center(dvx, geom)
-        cvy = _center(dvy, geom)
-        cvz = _center(dvz, geom)
-        cpres = _center(dpres, geom)
-        self_row = (lax.broadcasted_iota(jnp.int32, (kk, cw), 0) == k2)
-
-        sv = [[_views(r) for r in fld] for fld in s_fields]
+        sv = [_src_rows(fld) for fld in s_fields]
         (sxv, syv, szv, svxv, svyv, svzv, srhov, spresv) = sv
+        cx = _center(sxv, geom)
+        cy = _center(syv, geom)
+        cz = _center(szv, geom)
+        cvx = _center(svxv, geom)
+        cvy = _center(svyv, geom)
+        cvz = _center(svzv, geom)
+        cpres = _center(spresv, geom)
 
-        fx = jnp.zeros((kk, cw), jnp.float32)
-        fy = jnp.zeros((kk, cw), jnp.float32)
-        fz = jnp.zeros((kk, cw), jnp.float32)
-        gcx = jnp.zeros((kk, cw), jnp.float32)
-        gcy = jnp.zeros((kk, cw), jnp.float32)
-        gcz = jnp.zeros((kk, cw), jnp.float32)
-        lc = jnp.zeros((kk, cw), jnp.float32)
-        for v, off, zero_off in _offsets(geom):
-            ddx = cx - sxv[v][off:off + cw]
-            ddy = cy - syv[v][off:off + cw]
-            ddz = cz - szv[v][off:off + cw]
-            r2 = ddx * ddx + ddy * ddy + ddz * ddz
-            r = jnp.sqrt(r2)
-            inside = r < h
-            if zero_off:
-                inside = inside & ~self_row
-            srho = srhov[v][off:off + cw]
-            spres = spresv[v][off:off + cw]
-            mw = jnp.where(inside, mass / jnp.maximum(srho, 1e-12), 0.0)
-            dcl = jnp.maximum(h - r, 0.0)
-            gmag = jnp.where(r > 0.0,
-                             spiky_c * dcl * dcl / jnp.maximum(r, 1e-12),
-                             0.0)
-            lapw = visc_lap_c * dcl
-            pscale = -(cpres + spres) * 0.5 * mw * gmag
-            vscale = mw * lapw * mu
-            fx = fx + pscale * ddx + vscale * (svxv[v][off:off + cw] - cvx)
-            fy = fy + pscale * ddy + vscale * (svyv[v][off:off + cw] - cvy)
-            fz = fz + pscale * ddz + vscale * (svzv[v][off:off + cw] - cvz)
-            gscale = mw * gmag
-            gcx = gcx + gscale * ddx
-            gcy = gcy + gscale * ddy
-            gcz = gcz + gscale * ddz
-            lc = lc + mw * lapw
-        acc_ref[0] += fx
-        acc_ref[1] += fy
-        acc_ref[2] += fz
-        acc_ref[3] += gcx
-        acc_ref[4] += gcy
-        acc_ref[5] += gcz
-        acc_ref[6] += lc
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+        for k2 in range(kk):
+            @pl.when(k2 < occ)
+            def _(k2=k2):
+                self_row = _self_mask(k2, geom)
+                fx = jnp.zeros((kk, cw), jnp.float32)
+                fy = jnp.zeros((kk, cw), jnp.float32)
+                fz = jnp.zeros((kk, cw), jnp.float32)
+                gcx = jnp.zeros((kk, cw), jnp.float32)
+                gcy = jnp.zeros((kk, cw), jnp.float32)
+                gcz = jnp.zeros((kk, cw), jnp.float32)
+                lc = jnp.zeros((kk, cw), jnp.float32)
+                for v, off, zero_off in _offsets(geom):
+                    ddx = cx - sxv[v][k2, off:off + cw]
+                    ddy = cy - syv[v][k2, off:off + cw]
+                    ddz = cz - szv[v][k2, off:off + cw]
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    r = jnp.sqrt(r2)
+                    inside = r < h
+                    if zero_off:
+                        inside = inside & ~self_row
+                    srho = srhov[v][k2, off:off + cw]
+                    spres = spresv[v][k2, off:off + cw]
+                    mw = jnp.where(inside,
+                                   mass / jnp.maximum(srho, 1e-12), 0.0)
+                    dcl = jnp.maximum(h - r, 0.0)
+                    gmag = jnp.where(
+                        r > 0.0,
+                        spiky_c * dcl * dcl / jnp.maximum(r, 1e-12), 0.0)
+                    lapw = visc_lap_c * dcl
+                    pscale = -(cpres + spres) * 0.5 * mw * gmag
+                    vscale = mw * lapw * mu
+                    fx = fx + pscale * ddx \
+                        + vscale * (svxv[v][k2, off:off + cw] - cvx)
+                    fy = fy + pscale * ddy \
+                        + vscale * (svyv[v][k2, off:off + cw] - cvy)
+                    fz = fz + pscale * ddz \
+                        + vscale * (svzv[v][k2, off:off + cw] - cvz)
+                    gscale = mw * gmag
+                    gcx = gcx + gscale * ddx
+                    gcy = gcy + gscale * ddy
+                    gcz = gcz + gscale * ddz
+                    lc = lc + mw * lapw
+                acc_ref[0] += fx
+                acc_ref[1] += fy
+                acc_ref[2] += fz
+                acc_ref[3] += gcx
+                acc_ref[4] += gcy
+                acc_ref[5] += gcz
+                acc_ref[6] += lc
 
-    @pl.when((k2 == occ - 1) & (occ > 0))
-    def _():
+        # surface tension + gravity + integrate (SPHFluid.comp:156-171)
         st = pvec_ref[_PV_ST]
         dt = pvec_ref[_PV_DT]
         fx = acc_ref[0]
@@ -295,23 +300,23 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
         glen = jnp.sqrt(gcx * gcx + gcy * gcy + gcz * gcz)
         stm = jnp.where(glen > C.SURFACE_THRESHOLD,
                         -st * lc / jnp.maximum(glen, 1e-30), 0.0)
-        crho = _center(drho, geom)
+        crho = _center(srhov, geom)
         rho_safe = jnp.maximum(crho, 1e-12)
         ax = (fx + stm * gcx + pvec_ref[_PV_GX] * crho) / rho_safe
         ay = (fy + stm * gcy + pvec_ref[_PV_GY] * crho) / rho_safe
         az = (fz + stm * gcz + pvec_ref[_PV_GZ] * crho) / rho_safe
-        nvx = (_center(dvx, geom) + ax * dt) * C.VELOCITY_DAMPING
-        nvy = (_center(dvy, geom) + ay * dt) * C.VELOCITY_DAMPING
-        nvz = (_center(dvz, geom) + az * dt) * C.VELOCITY_DAMPING
-        outs[0][:, 0, 0, :] = _center(dpx, geom) + nvx * dt
-        outs[1][:, 0, 0, :] = _center(dpy, geom) + nvy * dt
-        outs[2][:, 0, 0, :] = _center(dpz, geom) + nvz * dt
-        outs[3][:, 0, 0, :] = nvx
-        outs[4][:, 0, 0, :] = nvy
-        outs[5][:, 0, 0, :] = nvz
-        outs[6][:, 0, 0, :] = ax
-        outs[7][:, 0, 0, :] = ay
-        outs[8][:, 0, 0, :] = az
+        nvx = (cvx + ax * dt) * C.VELOCITY_DAMPING
+        nvy = (cvy + ay * dt) * C.VELOCITY_DAMPING
+        nvz = (cvz + az * dt) * C.VELOCITY_DAMPING
+        outs[0][0, 0] = cx + nvx * dt
+        outs[1][0, 0] = cy + nvy * dt
+        outs[2][0, 0] = cz + nvz * dt
+        outs[3][0, 0] = nvx
+        outs[4][0, 0] = nvy
+        outs[5][0, 0] = nvz
+        outs[6][0, 0] = ax
+        outs[7][0, 0] = ay
+        outs[8][0, 0] = az
 
 
 def force_call(planes: PL.Planes, rho_ch: jax.Array, pres_ch: jax.Array,
@@ -324,16 +329,15 @@ def force_call(planes: PL.Planes, rho_ch: jax.Array, pres_ch: jax.Array,
         for v in range(3):
             in_specs.append(_src_spec(geom, v))
             args.append(field)
-    for field in fields:
-        in_specs.append(_dst_spec(geom))
-        args.append(field)
     outs = pl.pallas_call(
         functools.partial(_force_kernel, geom),
         grid_spec=_grid_spec(
             geom, in_specs, [_out_spec(geom)] * 9,
-            scratch_shapes=[pltpu.VMEM((7, geom.cap, geom.cw), jnp.float32)]),
+            scratch_shapes=[pltpu.VMEM((7, geom.cap, geom.cw),
+                                       jnp.float32)]),
         out_shape=[_out_shape(geom)] * 9,
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(planes.occ3, pvec, *args)
     return outs  # npx, npy, npz, nvx, nvy, nvz, ax, ay, az
 
@@ -348,7 +352,6 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     xs_refs = refs[27:31]
     y = pl.program_id(0)
     c = pl.program_id(1)
-    k2 = pl.program_id(2)
     occ = occ_ref[y, c]
     cw = geom.cw
     kk = geom.cap
@@ -356,45 +359,47 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     mass = pvec_ref[_PV_MASS]
     poly6_c = pvec_ref[_PV_POLY6]
 
-    @pl.when(k2 == 0)
-    def _():
-        for o in xs_refs:
-            o[...] = jnp.zeros(o.shape, jnp.float32)
+    for o in xs_refs:
+        o[...] = jnp.zeros(o.shape, jnp.float32)
 
-    @pl.when(k2 < occ)
+    @pl.when(occ > 0)
     def _():
-        cx = dnpx[:, 0, 0, :]
-        cy = dnpy[:, 0, 0, :]
-        cz = dnpz[:, 0, 0, :]
-        cvx = dnvx[:, 0, 0, :]
-        cvy = dnvy[:, 0, 0, :]
-        cvz = dnvz[:, 0, 0, :]
-        self_row = (lax.broadcasted_iota(jnp.int32, (kk, cw), 0) == k2)
-        sv = [[_views(r) for r in fld] for fld in s_fields]
+        sv = [_src_rows(fld) for fld in s_fields]
         (sxv, syv, szv, svxv, svyv, svzv, srhov) = sv
-        xx = jnp.zeros((kk, cw), jnp.float32)
-        xy = jnp.zeros((kk, cw), jnp.float32)
-        xz = jnp.zeros((kk, cw), jnp.float32)
-        xn = jnp.zeros((kk, cw), jnp.float32)
-        for v, off, zero_off in _offsets(geom):
-            ddx = cx - sxv[v][off:off + cw]
-            ddy = cy - syv[v][off:off + cw]
-            ddz = cz - szv[v][off:off + cw]
-            r2 = ddx * ddx + ddy * ddy + ddz * ddz
-            inside = r2 < h2
-            if zero_off:
-                inside = inside & ~self_row
-            d = jnp.maximum(h2 - r2, 0.0)
-            w = jnp.where(inside, poly6_c * d * d * d, 0.0)
-            mw = w * mass / jnp.maximum(srhov[v][off:off + cw], 1e-12)
-            xx = xx + mw * (svxv[v][off:off + cw] - cvx)
-            xy = xy + mw * (svyv[v][off:off + cw] - cvy)
-            xz = xz + mw * (svzv[v][off:off + cw] - cvz)
-            xn = xn + w
-        xs_refs[0][:, 0, 0, :] += xx
-        xs_refs[1][:, 0, 0, :] += xy
-        xs_refs[2][:, 0, 0, :] += xz
-        xs_refs[3][:, 0, 0, :] += xn
+        cx = dnpx[0, 0]
+        cy = dnpy[0, 0]
+        cz = dnpz[0, 0]
+        cvx = dnvx[0, 0]
+        cvy = dnvy[0, 0]
+        cvz = dnvz[0, 0]
+        for k2 in range(kk):
+            @pl.when(k2 < occ)
+            def _(k2=k2):
+                self_row = _self_mask(k2, geom)
+                xx = jnp.zeros((kk, cw), jnp.float32)
+                xy = jnp.zeros((kk, cw), jnp.float32)
+                xz = jnp.zeros((kk, cw), jnp.float32)
+                xn = jnp.zeros((kk, cw), jnp.float32)
+                for v, off, zero_off in _offsets(geom):
+                    ddx = cx - sxv[v][k2, off:off + cw]
+                    ddy = cy - syv[v][k2, off:off + cw]
+                    ddz = cz - szv[v][k2, off:off + cw]
+                    r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                    inside = r2 < h2
+                    if zero_off:
+                        inside = inside & ~self_row
+                    d = jnp.maximum(h2 - r2, 0.0)
+                    w = jnp.where(inside, poly6_c * d * d * d, 0.0)
+                    mw = w * mass / jnp.maximum(srhov[v][k2, off:off + cw],
+                                                1e-12)
+                    xx = xx + mw * (svxv[v][k2, off:off + cw] - cvx)
+                    xy = xy + mw * (svyv[v][k2, off:off + cw] - cvy)
+                    xz = xz + mw * (svzv[v][k2, off:off + cw] - cvz)
+                    xn = xn + w
+                xs_refs[0][0, 0] += xx
+                xs_refs[1][0, 0] += xy
+                xs_refs[2][0, 0] += xz
+                xs_refs[3][0, 0] += xn
 
 
 def xsph_call(planes: PL.Planes, rho_ch: jax.Array,
@@ -416,6 +421,7 @@ def xsph_call(planes: PL.Planes, rho_ch: jax.Array,
         grid_spec=_grid_spec(geom, in_specs, [_out_spec(geom)] * 4),
         out_shape=[_out_shape(geom)] * 4,
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(planes.occ3, pvec, *args)
 
 
@@ -440,39 +446,32 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     planes = PL.build_planes(s, params, geom)
     pvec = _make_pvec(params, dt)
 
-    # --- density (+ pointwise finish in plane space) ---
+    # --- density (+ pointwise finish in cell-block space) ---
     raw = density_call(planes, pvec, geom, interpret)
     poly6_c = 315.0 / (64.0 * _PI * params.h**9)
     rho0 = params.rest_density
     rho_p = jnp.maximum(params.mass * poly6_c * raw,
                         C.DENSITY_FLOOR_FRAC * rho0)
     pres_p = jnp.maximum(params.gas_constant * (rho_p - rho0), 0.0)
-    g_on = planes.ghost_on[:, 1:1 + geom.ny, :,
-                           geom.halo:geom.halo + geom.cw] > 0.0
+    g_on = PL.center_from_chunks(planes.ghost_on, geom) > 0.0
     rho_p = jnp.where(g_on, rho0, rho_p)
     pres_p = jnp.where(g_on, 0.0, pres_p)
 
-    def rechunk(arr, sentinel):
-        flat = arr.reshape(geom.cap, geom.ny, geom.nzxp)[..., :geom.nzx]
-        padded = jnp.pad(flat, ((0, 0), (1, 1), (0, 0)),
-                         constant_values=sentinel)
-        return PL.chunk_lanes(padded, geom, sentinel)
-
-    rho_ch = rechunk(rho_p, 1.0)
-    pres_ch = rechunk(pres_p, 0.0)
+    rho_ch = PL.rechunk_output(rho_p, geom, 1.0)
+    pres_ch = PL.rechunk_output(pres_p, geom, 0.0)
 
     # --- force + integrate ---
     f_outs = force_call(planes, rho_ch, pres_ch, pvec, geom, interpret)
     npx, npy, npz, nvx, nvy, nvz, ax, ay, az = f_outs
 
-    # --- xsph vs stale neighbors ---
+    # --- xsph vs pre-move neighbors ---
     xs = xsph_call(planes, rho_ch, (npx, npy, npz), (nvx, nvy, nvz),
                    pvec, geom, interpret)
 
     # --- one gather back to (sorted) particle order ---
     stacked = jnp.stack([npx, npy, npz, nvx, nvy, nvz, ax, ay, az,
-                         rho_p, pres_p, *xs], axis=0)   # [15, K, ny, nc, CW]
-    flat = stacked.reshape(15, geom.cap * geom.ny * geom.nzxp).T
+                         rho_p, pres_p, *xs], axis=0)  # [15, ny, nc, K, CW]
+    flat = stacked.reshape(15, -1).T
     per = flat[PL.out_flat_index(s, geom)]              # [N, 15]
 
     new_pos = per[:, 0:3]

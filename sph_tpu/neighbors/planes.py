@@ -1,11 +1,13 @@
 """Plane-table geometry + construction for the Pallas sweep kernels.
 
 The Pallas neighbor engine (``pallas_sweeps.py``) consumes per-field
-"chunked planes": dense ``[K, ny+2, n_chunks, CW + 2*H]`` f32 arrays where
+"cell-block planes": dense ``[ny+2, n_chunks, K, CW + 2*H]`` f32 arrays
+where
 
-- ``K``       = cell capacity (slot index, the f32 sublane dim = 8),
 - ``ny+2``    = y cell rows with a +-1 halo (gravity is -Y, so empty-space
                 skipping is most effective when y is the program axis),
+- ``K``       = cell capacity (slot index, the f32 sublane dim = 8, so
+                each (row, chunk) block is a full-VPU ``(K, CWH)`` tile),
 - lanes       = the (z, x) plane flattened as ``zx = zp * nxp + xp`` with
                 per-axis +-1 halos baked in (``nxp = nx+2``), chunked into
                 ``n_chunks`` windows of ``CW`` lanes, each carrying
@@ -92,7 +94,7 @@ class PlaneGeom(NamedTuple):
         return self.nyp * self.nzp * self.nxp
 
 
-def geom_for(config: SimConfig, max_cwh: int = 8704) -> PlaneGeom:
+def geom_for(config: SimConfig, max_cwh: int = 1536) -> PlaneGeom:
     nx, ny, nz = config.grid_dims
     nzx = (nz + 2) * (nx + 2)
     halo = nx + 3
@@ -208,7 +210,7 @@ def chunk_lanes(plane: jax.Array, geom: PlaneGeom,
 
 
 class Planes(NamedTuple):
-    """Chunked field planes [K, nyp, n_chunks, CWH] + occupancy metadata."""
+    """Cell-block field planes [nyp, n_chunks, K, CWH] + occupancy."""
     px: jax.Array
     py: jax.Array
     pz: jax.Array
@@ -246,15 +248,16 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
     table = table.at[slot].set(packed, mode="drop", unique_indices=True)
     table = table[:pc_count * k]
 
-    # [Cp*K, 8] -> [Cp, K, 8] -> [8, K, Cp] -> [8, K, nyp, NZX]
-    planes = jnp.transpose(table.reshape(pc_count, k, 8), (2, 1, 0))
-    planes = planes.reshape(8, k, geom.nyp, geom.nzx)
+    # [Cp*K, 8] -> [nyp, NZX, K, 8] -> [8, nyp, K, NZX]
+    planes = jnp.transpose(
+        table.reshape(geom.nyp, geom.nzx, k, 8), (3, 0, 2, 1))
 
-    # Slot bound per cell from the sentinel pattern (max occupied slot + 1),
-    # then max over each chunk window and the 3 y-rows feeding program y.
-    occupied = planes[0] < SENTINEL_POS * 0.5            # [K, nyp, NZX]
-    slot_ids = jnp.arange(1, k + 1, dtype=jnp.int32).reshape(k, 1, 1)
-    occ_cell = jnp.max(jnp.where(occupied, slot_ids, 0), axis=0)  # [nyp, NZX]
+    # Slot bound per cell (max occupied slot + 1) from the sentinel
+    # pattern, then max over each chunk window + halo and the 3 y-rows
+    # feeding program y.
+    occupied = planes[0] < SENTINEL_POS * 0.5            # [nyp, K, NZX]
+    slot_ids = jnp.arange(1, k + 1, dtype=jnp.int32).reshape(1, k, 1)
+    occ_cell = jnp.max(jnp.where(occupied, slot_ids, 0), axis=1)  # [nyp, NZX]
     occ_chunk = jnp.max(chunk_lanes(occ_cell, geom, 0.0), axis=-1)  # [nyp, nc]
     occ3 = jnp.maximum(jnp.maximum(occ_chunk[:-2], occ_chunk[1:-1]),
                        occ_chunk[2:])                    # [ny, n_chunks]
@@ -262,7 +265,11 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
     overflow = jnp.sum(((s.rank >= k) & (s.key < num_cells)
                         & (m.valid > 0)).astype(jnp.int32))
 
-    cp = lambda i, sent=0.0: chunk_lanes(planes[i], geom, sent)
+    def cp(i, sent=0.0):
+        # [nyp, K, NZX] -> [nyp, K, nc, CWH] -> [nyp, nc, K, CWH]
+        ch = chunk_lanes(planes[i], geom, sent)
+        return jnp.transpose(ch, (0, 2, 1, 3))
+
     return Planes(
         px=cp(0, SENTINEL_POS), py=cp(1, SENTINEL_POS),
         pz=cp(2, SENTINEL_POS),
@@ -271,19 +278,35 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
 
 
 def center_from_chunks(plane: jax.Array, geom: PlaneGeom) -> jax.Array:
-    """[K, nyp, n_chunks, CWH] -> interior [K, ny, NZXp] (lane-padded zx)."""
+    """[nyp, n_chunks, K, CWH] src plane -> interior [ny, n_chunks, K, CW]
+    (the kernel-output layout)."""
     h = geom.halo
-    interior = plane[:, 1:1 + geom.ny, :, h:h + geom.cw]
-    return interior.reshape(plane.shape[0], geom.ny, geom.nzxp)
+    return plane[1:1 + geom.ny, :, :, h:h + geom.cw]
+
+
+def rechunk_output(arr: jax.Array, geom: PlaneGeom,
+                   sentinel: float) -> jax.Array:
+    """Kernel output [ny, n_chunks, K, CW] -> src-style plane
+    [nyp, n_chunks, K, CWH] (re-add y halo rows + lane halos)."""
+    # -> [ny, K, NZXp] -> trim lane padding -> [ny, K, NZX]
+    flat = jnp.transpose(arr, (0, 2, 1, 3)).reshape(
+        geom.ny, geom.cap, geom.nzxp)[..., :geom.nzx]
+    padded = jnp.pad(flat, ((1, 1), (0, 0), (0, 0)),
+                     constant_values=sentinel)            # [nyp, K, NZX]
+    ch = chunk_lanes(padded, geom, sentinel)              # [nyp, K, nc, CWH]
+    return jnp.transpose(ch, (0, 2, 1, 3))
 
 
 def out_flat_index(s: Sorted, geom: PlaneGeom) -> jax.Array:
     """Per sorted particle: flat index into stacked kernel outputs
-    ``[K, ny, NZXp]`` (clamped for out-of-bin particles; mask separately)."""
+    ``[ny, n_chunks, K, CW]`` (clamped for out-of-bin particles; mask
+    separately)."""
     key = jnp.minimum(s.key, geom.num_cells - 1)
     rank = jnp.minimum(s.rank, geom.cap - 1)
     x = key % geom.nx
     z = (key // geom.nx) % geom.nz
     y = key // (geom.nx * geom.nz)
     lane = (z + 1) * geom.nxp + (x + 1)
-    return (rank * geom.ny + y) * geom.nzxp + lane
+    c = lane // geom.cw
+    li = lane - c * geom.cw
+    return ((y * geom.n_chunks + c) * geom.cap + rank) * geom.cw + li
