@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Per-stage profiler for the Pallas substep: sort / planes / density /
+force / xsph / gather.  Each stage runs in its own jit with a lax.scan of
+`reps` iterations (data dependency threaded), so tunnel round-trips
+amortize.  Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+    python scripts/profile_pallas.py [config] [reps]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+from jax import lax
+
+from sph_tpu.app import configs as AC
+from sph_tpu.neighbors import planes as PL
+from sph_tpu.neighbors import pallas_sweeps as K
+
+cfg_name = sys.argv[1] if len(sys.argv) > 1 else "default_131k"
+reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+cfg = AC.CONFIGS[cfg_name]
+state, params, sim = AC.build(cfg, neighbor_impl="pallas")
+geom = PL.geom_for(sim)
+print(f"config={cfg_name} n={state.n} dims={sim.grid_dims} "
+      f"geom: nc={geom.n_chunks} cw={geom.cw} cwh={geom.cwh}",
+      file=sys.stderr)
+
+interp = jax.default_backend() not in ("tpu", "axon")
+key = PL.compute_keys_ymajor(state.pos, state.valid, params, geom)
+contrib = state.contrib_mask(params.ghost_face_active)
+s = PL.sort_particles(state, key, contrib)
+planes = PL.build_planes(s, params, geom)
+pvec = K._make_pvec(params, params.dt)
+
+raw = K.density_call(planes, pvec, geom, interp)
+rho_p = jnp.maximum(raw * 1e-3, 500.0)
+pres_p = jnp.maximum(params.gas_constant * (rho_p - 1000.0), 0.0)
+rho_ch = PL.rechunk_output(rho_p, geom, 1.0)
+pres_ch = PL.rechunk_output(pres_p, geom, 0.0)
+f_outs = K.force_call(planes, rho_ch, pres_ch, pvec, geom, interp)
+
+
+def timed(name, fn, *args):
+    f = jax.jit(fn)
+    out = f(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf.reshape(-1)[:4])
+    t0 = time.time()
+    out = f(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf.reshape(-1)[:4])
+    dt = (time.time() - t0) / reps * 1e3
+    print(f"{name:24s} {dt:8.2f} ms/iter", flush=True)
+    return dt
+
+
+def scanned(body):
+    def outer(x0, *args):
+        def step(c, _):
+            return body(c, *args), None
+        out, _ = lax.scan(step, x0, None, length=reps)
+        return out
+    return outer
+
+
+# --- sort: perturb pos slightly each iter so sort isn't cached ---
+def sort_body(pos, p):
+    st = state.replace(pos=pos)
+    k2 = PL.compute_keys_ymajor(pos, st.valid, p, geom)
+    srt = PL.sort_particles(st, k2, contrib)
+    return srt.pos * 1.0000001
+
+timed("keys+sort", scanned(sort_body), state.pos, params)
+
+
+def planes_body(pos, p):
+    srt = s._replace(pos=pos)
+    pl_ = PL.build_planes(srt, p, geom)
+    return pos + pl_.px[0, 0, 0, :3].sum() * 1e-20
+
+timed("build_planes(scatter)", scanned(planes_body), s.pos, params)
+
+
+def density_body(pv, pl_):
+    r = K.density_call(pl_, pv, geom, interp)
+    return pv + r[0, 0, 0, 0] * 1e-20
+
+timed("density_kernel", scanned(density_body), pvec, planes)
+
+
+def force_body(pv, pl_, rc, pc):
+    outs = K.force_call(pl_, rc, pc, pv, geom, interp)
+    return pv + outs[0][0, 0, 0, 0] * 1e-20
+
+timed("force_kernel", scanned(force_body), pvec, planes, rho_ch, pres_ch)
+
+
+def xsph_body(pv, pl_, rc, np_, nv_):
+    xs = K.xsph_call(pl_, rc, np_, nv_, pv, geom, interp)
+    return pv + xs[0][0, 0, 0, 0] * 1e-20
+
+timed("xsph_kernel", scanned(xsph_body), pvec, planes, rho_ch,
+      tuple(f_outs[0:3]), tuple(f_outs[3:6]))
+
+
+def rechunk_body(r):
+    rc = PL.rechunk_output(jnp.maximum(r, 500.0), geom, 1.0)
+    return r + rc[0, 0, 0, 0] * 1e-20
+
+timed("rechunk_rho+pres(x2)", scanned(
+    lambda r: rechunk_body(rechunk_body(r))), rho_p)
+
+
+def gather_body(x):
+    stacked = jnp.stack([f_outs[0] + x[0] * 1e-20, *f_outs[1:9],
+                         rho_p, pres_p, f_outs[0], f_outs[1], f_outs[2],
+                         rho_p], axis=0)
+    flat = stacked.reshape(15, -1).T
+    per = flat[PL.out_flat_index(s, geom)]
+    return per[:, 0] * 1.0000001
+
+timed("output_gather", scanned(gather_body), rho_p[0, 0, 0])
+
+
+def full_body(pos, p):
+    st = state.replace(pos=pos)
+    out = K.substep(st, p, p.dt, sim)
+    return out.pos
+
+timed("FULL substep", scanned(full_body), state.pos, params)

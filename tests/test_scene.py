@@ -1,0 +1,203 @@
+"""Scene layer tests: preset schema round-trip, structural split, art
+presets, sequencer cuts/morphs, reaction driver, checkpointing."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from sph_tpu.io import presets as pio
+from sph_tpu.scene import art_presets as AP
+from sph_tpu.scene import settings as SET
+from sph_tpu.scene.reaction import (ReactionPhases, drive_audio_reaction,
+                                    drive_continuous_wave)
+from sph_tpu.scene.scene import Scene, params_from_settings
+from sph_tpu.scene.sequencer import SeqCue, Sequencer
+from sph_tpu.scene.settings import SceneSettings
+
+
+def test_preset_roundtrip_identity():
+    s = SceneSettings()
+    s.viscosity = 7.25
+    s.palette_id = 13
+    s.duo_color_a = [0.1, 0.2, 0.3]
+    s.logo_path = "logos/x.png"
+    kv = SET.gather_preset(s)
+    s2 = SET.apply_preset(SceneSettings(), kv, structural=True)
+    for _, attr, kind, _s in SET.PRESET_FIELDS:
+        a, b = getattr(s, attr), getattr(s2, attr)
+        if kind == "f3":
+            np.testing.assert_allclose(a, b, rtol=1e-6, err_msg=attr)
+        elif kind == "f":
+            assert abs(a - b) <= 1e-6 * max(1, abs(a)), attr
+        else:
+            assert a == b, attr
+
+
+def test_preset_text_format_compatible():
+    """Serialized text uses the reference's key names and parses back."""
+    kv = SET.gather_preset(SceneSettings())
+    text = pio.serialize(kv)
+    assert "sim.restDensity=1000" in text
+    assert "box.half=7,7,7" in text
+    assert "look.paletteId=0" in text
+    back = pio.parse(text)
+    assert back["audio.bassForce"] == kv["audio.bassForce"]
+
+
+def test_structural_split():
+    """Non-structural apply must not touch respawn-requiring fields."""
+    s = SceneSettings()
+    kv = {"sim.particleCount": "99000", "look.mixPattern": "2",
+          "sim.viscosity": "9.5", "motion.logoPath": "a.png"}
+    live = SET.apply_preset(s, kv, structural=False)
+    assert live.particle_count == s.particle_count
+    assert live.mix_pattern == s.mix_pattern
+    assert live.logo_path == s.logo_path
+    assert abs(live.viscosity - 9.5) < 1e-6
+
+    full = SET.apply_preset(s, kv, structural=True)
+    assert full.particle_count == 99000
+    assert full.mix_pattern == 2
+
+
+def test_needs_respawn():
+    s = SceneSettings()
+    s2 = dataclasses.replace(s, viscosity=9.0)
+    s2.box_half = list(s.box_half)
+    assert not SET.needs_respawn(s, s2)
+    s3 = dataclasses.replace(s)
+    s3.particle_count = 1234567
+    assert SET.needs_respawn(s, s3)
+    s4 = dataclasses.replace(s)
+    s4.shape_type = 3
+    assert SET.needs_respawn(s, s4)
+
+
+@pytest.mark.parametrize("which", range(len(AP.ART_PRESETS)))
+def test_art_presets_apply(which):
+    s = AP.apply_art_preset(SceneSettings(), which)
+    assert s.audio_enabled
+    assert 0 <= s.shape_type <= 9
+    assert 0 <= s.palette_id < 24
+    assert s.gravity_y < 0
+    # canvas neutralizes grade
+    assert s.hue_shift == 0.0 and s.sat_mul == 1.0
+
+
+def test_surprise_me_deterministic():
+    a = AP.surprise_me(SceneSettings(), seed=42)
+    b = AP.surprise_me(SceneSettings(), seed=42)
+    assert SET.gather_preset(a) == SET.gather_preset(b)
+    c = AP.surprise_me(SceneSettings(), seed=43)
+    assert SET.gather_preset(a) != SET.gather_preset(c)
+
+
+def test_sequencer_cut_and_morph(tmp_path):
+    pdir = str(tmp_path)
+    hot = SceneSettings()
+    hot.viscosity = 9.0
+    hot.palette_id = 7
+    pio.save_file(os.path.join(pdir, "hot.txt"), SET.gather_preset(hot))
+
+    seq = Sequencer(preset_dir=pdir, enabled=True)
+    seq.cues = [SeqCue(time=1.0, preset="hot", cut=True),
+                SeqCue(time=5.0, preset="hot", morph_sec=2.0, cut=False)]
+
+    s = SceneSettings()
+    s = seq.tick(s, 0.5)
+    assert s.palette_id == 0          # nothing fired yet
+    s = seq.tick(s, 1.1)
+    assert s.palette_id == 7          # cut slammed
+    assert abs(s.viscosity - 9.0) < 1e-6
+
+    # morph: halfway between current (9.0) and target (9.0) is 9.0; reset
+    # to a cold look first to observe blending
+    s.viscosity = 1.0
+    s = seq.tick(s, 5.0)              # cue fires, morph starts at t=5
+    mid = seq.tick(s, 6.0)            # halfway, smoothstep(0.5)=0.5
+    assert 4.0 < mid.viscosity < 6.0
+    done = seq.tick(mid, 7.5)
+    assert abs(done.viscosity - 9.0) < 1e-4
+    assert not seq.morph_active
+
+
+def test_sequencer_persistence(tmp_path):
+    path = os.path.join(tmp_path, "sequence.txt")
+    seq = Sequencer()
+    seq.cues = [SeqCue(2.5, "a", 1.0, True), SeqCue(9.0, "b", 3.0, False)]
+    assert seq.save(path)
+    back = Sequencer.load(path)
+    assert len(back.cues) == 2
+    assert back.cues[0].preset == "a" and back.cues[0].cut
+    assert abs(back.cues[1].morph_sec - 3.0) < 1e-6
+
+
+def test_reaction_driver(dam_break_small):
+    state, params, dims = dam_break_small
+    s = SceneSettings()
+    s.spin_on = True
+    s.attractor_on = True
+    phases = ReactionPhases()
+    v0 = np.asarray(state.vel)
+    st, p, ph, live = drive_audio_reaction(
+        state, params, s, phases, bass=1.0, mid=0.5, treble=0.3, dt=0.016)
+    assert ph.bass_phase > 0 and ph.post_time > 0
+    assert not np.allclose(np.asarray(st.vel), v0)   # impulses kicked
+    g = np.asarray(p.gravity)
+    assert g[0] != 0 or g[2] != 0                     # gravity spin tipped
+    assert live.bright_mul >= s.bright_mul            # shimmer/flash kick
+    # phases object is not mutated in place
+    assert phases.bass_phase == 0.0
+
+
+def test_continuous_wave(dam_break_small):
+    state, params, dims = dam_break_small
+    s = SceneSettings()
+    s.continuous_wave = True
+    st, ph = drive_continuous_wave(state, s, ReactionPhases(), 0.016)
+    assert ph.wave_phase > 0
+    assert not np.allclose(np.asarray(st.vel), np.asarray(state.vel))
+
+
+def test_scene_update_and_checkpoint(tmp_path):
+    s = SceneSettings()
+    s.particle_count = 1000
+    s.audio_enabled = True
+    sc = Scene(settings=s, neighbor_impl="cell")
+    n0 = sc.state.n
+    n_sub = sc.update(0.016, bands=(0.8, 0.2, 0.1))
+    assert n_sub > 0
+    assert np.isfinite(np.asarray(sc.state.pos)).all()
+
+    ck = os.path.join(tmp_path, "ck.npz")
+    sc.save_checkpoint(ck)
+    pos_before = np.asarray(sc.state.pos).copy()
+    t_before = sc.sim_time
+
+    sc.update(0.016, bands=(0.0, 0.0, 0.0))
+    sc.load_checkpoint(ck)
+    assert sc.state.n == n0
+    np.testing.assert_allclose(np.asarray(sc.state.pos), pos_before,
+                               atol=0)
+    assert sc.sim_time == t_before
+
+
+def test_scene_art_preset_respawn():
+    s = SceneSettings()
+    s.particle_count = 1000
+    sc = Scene(settings=s, neighbor_impl="cell")
+    sc.apply_art_preset(3)     # Club Water
+    assert sc.settings.render_mode == 0
+    assert abs(sc.settings.gravity_y + 980.0) < 1e-6
+    assert np.isfinite(np.asarray(sc.state.pos)).all()
+
+
+def test_params_from_settings():
+    s = SceneSettings()
+    s.viscosity = 4.5
+    s.h = 0.3
+    p = params_from_settings(s)
+    assert abs(float(p.viscosity) - 4.5) < 1e-6
+    # mass derived from h
+    assert abs(float(p.mass) - 1000.0 * (0.85 * 0.3) ** 3) < 1e-3
