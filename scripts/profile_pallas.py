@@ -39,12 +39,8 @@ s = PL.sort_particles(state, key, contrib)
 planes = PL.build_planes(s, params, geom)
 pvec = K._make_pvec(params, params.dt)
 
-raw = K.density_call(planes, pvec, geom, interp)
-rho_p = jnp.maximum(raw * 1e-3, 500.0)
-pres_p = jnp.maximum(params.gas_constant * (rho_p - 1000.0), 0.0)
-rho_ch = PL.rechunk_output(rho_p, geom, 1.0)
-pres_ch = PL.rechunk_output(pres_p, geom, 0.0)
-f_outs = K.force_call(planes, rho_ch, pres_ch, pvec, geom, interp)
+rho_out = K.density_call(planes, pvec, geom, interp)
+f_outs = K.force_call(planes, rho_out, pvec, geom, interp)
 
 
 def timed(name, fn, *args):
@@ -95,38 +91,30 @@ def density_body(pv, pl_):
 timed("density_kernel", scanned(density_body), pvec, planes)
 
 
-def force_body(pv, pl_, rc, pc):
-    outs = K.force_call(pl_, rc, pc, pv, geom, interp)
+def force_body(pv, pl_, rc):
+    outs = K.force_call(pl_, rc, pv, geom, interp)
     return pv + outs[0][0, 0, 0, 0] * 1e-20
 
-timed("force_kernel", scanned(force_body), pvec, planes, rho_ch, pres_ch)
+timed("force_kernel", scanned(force_body), pvec, planes, rho_out)
 
 
 def xsph_body(pv, pl_, rc, np_, nv_):
     xs = K.xsph_call(pl_, rc, np_, nv_, pv, geom, interp)
     return pv + xs[0][0, 0, 0, 0] * 1e-20
 
-timed("xsph_kernel", scanned(xsph_body), pvec, planes, rho_ch,
+timed("xsph_kernel", scanned(xsph_body), pvec, planes, rho_out,
       tuple(f_outs[0:3]), tuple(f_outs[3:6]))
 
 
-def rechunk_body(r):
-    rc = PL.rechunk_output(jnp.maximum(r, 500.0), geom, 1.0)
-    return r + rc[0, 0, 0, 0] * 1e-20
-
-timed("rechunk_rho+pres(x2)", scanned(
-    lambda r: rechunk_body(rechunk_body(r))), rho_p)
-
-
 def gather_body(x):
-    stacked = jnp.stack([f_outs[0] + x[0] * 1e-20, *f_outs[1:9],
-                         rho_p, pres_p, f_outs[0], f_outs[1], f_outs[2],
-                         rho_p], axis=0)
-    flat = stacked.reshape(15, -1).T
+    stacked = jnp.stack([f_outs[0] + x * 1e-20, *f_outs[1:9],
+                         rho_out, f_outs[0], f_outs[1], f_outs[2],
+                         rho_out], axis=0)
+    flat = stacked.reshape(14, -1).T
     per = flat[PL.out_flat_index(s, geom)]
-    return per[:, 0] * 1.0000001
+    return (per[:, 0] * 1e-20).sum() + x * 1.0000001
 
-timed("output_gather", scanned(gather_body), rho_p[0, 0, 0])
+timed("output_gather", scanned(gather_body), jnp.float32(1.0))
 
 
 def full_body(pos, p):

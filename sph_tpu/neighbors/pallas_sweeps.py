@@ -68,7 +68,10 @@ _PV_GX = 8
 _PV_GY = 9
 _PV_GZ = 10
 _PV_DT = 11
-_PV_LEN = 12
+_PV_RHO0 = 12
+_PV_GASK = 13
+_PV_RHO_FLOOR = 14
+_PV_LEN = 15
 
 
 def _make_pvec(params: FluidParams, dt: jax.Array) -> jax.Array:
@@ -80,6 +83,8 @@ def _make_pvec(params: FluidParams, dt: jax.Array) -> jax.Array:
         params.viscosity, params.surface_tension,
         params.gravity[0], params.gravity[1], params.gravity[2],
         jnp.asarray(dt, jnp.float32),
+        params.rest_density, params.gas_constant,
+        C.DENSITY_FLOOR_FRAC * params.rest_density,
     ]).astype(jnp.float32)
 
 
@@ -137,6 +142,39 @@ def _src_rows(refs):
     return [r[0, 0] for r in refs]
 
 
+def _rho_spec(geom: PL.PlaneGeom, view: int, dc: int) -> pl.BlockSpec:
+    """Neighbor-density block over the density *output* array (no halo):
+    3 y-views x 3 lane-chunks, chunk index clamped at the plane edges.
+    Out-of-plane halo lanes assemble garbage, but the position sentinel
+    already fails the r < h test for those lanes, so the value is never
+    used."""
+    nc = geom.n_chunks
+    ny = geom.ny
+
+    def imap(y, c, occ, pvec):
+        # y/c clamps re-read an interior block at the plane edges; the
+        # sentinel in the POSITION y-halo / lane-halo makes those pairs
+        # fail r < h, so the wrong rho never contributes.
+        return (jnp.clip(y + view - 1, 0, ny - 1),
+                jnp.clip(c + dc, 0, nc - 1), 0, 0)
+
+    return pl.BlockSpec((1, 1, geom.cap, geom.cw), imap,
+                        memory_space=pltpu.VMEM)
+
+
+def _rho_views(refs, geom):
+    """9 clamped rho blocks -> 3 halo-extended (K, CWH) rows.
+
+    refs order: view-major [(v0,c-1),(v0,c),(v0,c+1),(v1,...),...]."""
+    h = geom.halo
+    rows = []
+    for v in range(3):
+        left, mid, right = (r[0, 0] for r in refs[v * 3:(v + 1) * 3])
+        rows.append(jnp.concatenate(
+            [left[:, geom.cw - h:], mid, right[:, :h]], axis=1))
+    return rows
+
+
 def _center(rows, geom):
     """Center-view (K, CWH) block -> interior (K, CW) destination."""
     return rows[1][:, geom.halo:geom.halo + geom.cw]
@@ -152,14 +190,17 @@ def _self_mask(k2: int, geom: PL.PlaneGeom):
 
 def _density_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     spx, spy, spz = refs[0:3], refs[3:6], refs[6:9]
-    rho_ref = refs[9]
+    ghost_ref = refs[9]
+    rho_ref = refs[10]
     y = pl.program_id(0)
     c = pl.program_id(1)
     occ = occ_ref[y, c]
     h2 = pvec_ref[_PV_H2]
     cw = geom.cw
+    rho0 = pvec_ref[_PV_RHO0]
 
-    rho_ref[...] = jnp.zeros(rho_ref.shape, jnp.float32)
+    rho_ref[...] = jnp.full(rho_ref.shape, pvec_ref[_PV_RHO_FLOOR],
+                            jnp.float32)
 
     @pl.when(occ > 0)
     def _():
@@ -169,6 +210,8 @@ def _density_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
         cx = _center(sx, geom)
         cy = _center(sy, geom)
         cz = _center(sz, geom)
+        acc0 = jnp.zeros((geom.cap, cw), jnp.float32)
+        rho_ref[0, 0] = acc0
         for k2 in range(geom.cap):
             @pl.when(k2 < occ)
             def _(k2=k2):
@@ -181,17 +224,26 @@ def _density_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
                     d = jnp.maximum(h2 - r2, 0.0)
                     acc = acc + d * d * d
                 rho_ref[0, 0] += acc
+        # pointwise finish: mass*poly6 scale + floor + ghost override
+        # (SPHFluid.comp:105; ghost rho = rho0, SPHFluid.comp:71-83)
+        raw = rho_ref[0, 0]
+        scale = pvec_ref[_PV_MASS] * pvec_ref[_PV_POLY6]
+        rho = jnp.maximum(raw * scale, pvec_ref[_PV_RHO_FLOOR])
+        g_on = ghost_ref[0, 0][:, geom.halo:geom.halo + cw] > 0.0
+        rho_ref[0, 0] = jnp.where(g_on, rho0, rho)
 
 
 def density_call(planes: PL.Planes, pvec: jax.Array, geom: PL.PlaneGeom,
                  interpret: bool) -> jax.Array:
-    """Raw poly6 pair sums (times mass*coef outside): [ny, nc, K, CW]."""
+    """FINAL per-slot density (floored, ghost-overridden): [ny,nc,K,CW]."""
     in_specs = []
     args = []
     for field in (planes.px, planes.py, planes.pz):
         for v in range(3):
             in_specs.append(_src_spec(geom, v))
             args.append(field)
+    in_specs.append(_src_spec(geom, 1))     # ghost flag, center view
+    args.append(planes.ghost_on)
     return pl.pallas_call(
         functools.partial(_density_kernel, geom),
         grid_spec=_grid_spec(geom, in_specs, _out_spec(geom)),
@@ -206,10 +258,12 @@ def density_call(planes: PL.Planes, pvec: jax.Array, geom: PL.PlaneGeom,
 # ---------------------------------------------------------------------------
 
 def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
-    # srcs: 8 fields x 3 views; outs: 9; scratch: acc (7, K, CW)
-    s_fields = [refs[i * 3:(i + 1) * 3] for i in range(8)]
-    outs = refs[24:33]
-    acc_ref = refs[33]
+    # srcs: 6 pos/vel fields x 3 views + 9 rho blocks; outs: 9;
+    # scratch: acc (7, K, CW)
+    s_fields = [refs[i * 3:(i + 1) * 3] for i in range(6)]
+    rho_refs = refs[18:27]
+    outs = refs[27:36]
+    acc_ref = refs[36]
     y = pl.program_id(0)
     c = pl.program_id(1)
     occ = occ_ref[y, c]
@@ -220,6 +274,8 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     spiky_c = pvec_ref[_PV_SPIKY]
     visc_lap_c = pvec_ref[_PV_VISC_LAP]
     mu = pvec_ref[_PV_MU]
+    rho0 = pvec_ref[_PV_RHO0]
+    gas_k = pvec_ref[_PV_GASK]
 
     for o in outs:
         o[...] = jnp.zeros(o.shape, jnp.float32)
@@ -227,7 +283,11 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     @pl.when(occ > 0)
     def _():
         sv = [_src_rows(fld) for fld in s_fields]
-        (sxv, syv, szv, svxv, svyv, svzv, srhov, spresv) = sv
+        (sxv, syv, szv, svxv, svyv, svzv) = sv
+        srhov = _rho_views(rho_refs, geom)
+        # pressure from EOS in-kernel (SPHFluid.comp:109-111); ghosts
+        # carry rho = rho0 so their pressure is exactly 0
+        spresv = [jnp.maximum(gas_k * (r - rho0), 0.0) for r in srhov]
         cx = _center(sxv, geom)
         cy = _center(syv, geom)
         cz = _center(szv, geom)
@@ -319,16 +379,20 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
         outs[8][0, 0] = az
 
 
-def force_call(planes: PL.Planes, rho_ch: jax.Array, pres_ch: jax.Array,
+def force_call(planes: PL.Planes, rho_out: jax.Array,
                pvec: jax.Array, geom: PL.PlaneGeom, interpret: bool):
     fields = (planes.px, planes.py, planes.pz,
-              planes.vx, planes.vy, planes.vz, rho_ch, pres_ch)
+              planes.vx, planes.vy, planes.vz)
     in_specs = []
     args = []
     for field in fields:
         for v in range(3):
             in_specs.append(_src_spec(geom, v))
             args.append(field)
+    for v in range(3):
+        for dc in (-1, 0, 1):
+            in_specs.append(_rho_spec(geom, v, dc))
+            args.append(rho_out)
     outs = pl.pallas_call(
         functools.partial(_force_kernel, geom),
         grid_spec=_grid_spec(
@@ -347,9 +411,10 @@ def force_call(planes: PL.Planes, rho_ch: jax.Array, pres_ch: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
-    s_fields = [refs[i * 3:(i + 1) * 3] for i in range(7)]
-    (dnpx, dnpy, dnpz, dnvx, dnvy, dnvz) = refs[21:27]
-    xs_refs = refs[27:31]
+    s_fields = [refs[i * 3:(i + 1) * 3] for i in range(6)]
+    rho_refs = refs[18:27]
+    (dnpx, dnpy, dnpz, dnvx, dnvy, dnvz) = refs[27:33]
+    xs_refs = refs[33:37]
     y = pl.program_id(0)
     c = pl.program_id(1)
     occ = occ_ref[y, c]
@@ -365,7 +430,8 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     @pl.when(occ > 0)
     def _():
         sv = [_src_rows(fld) for fld in s_fields]
-        (sxv, syv, szv, svxv, svyv, svzv, srhov) = sv
+        (sxv, syv, szv, svxv, svyv, svzv) = sv
+        srhov = _rho_views(rho_refs, geom)
         cx = dnpx[0, 0]
         cy = dnpy[0, 0]
         cz = dnpz[0, 0]
@@ -402,17 +468,21 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
                 xs_refs[3][0, 0] += xn
 
 
-def xsph_call(planes: PL.Planes, rho_ch: jax.Array,
+def xsph_call(planes: PL.Planes, rho_out: jax.Array,
               np_out: Sequence[jax.Array], nv_out: Sequence[jax.Array],
               pvec: jax.Array, geom: PL.PlaneGeom, interpret: bool):
     s_flds = (planes.px, planes.py, planes.pz,
-              planes.vx, planes.vy, planes.vz, rho_ch)
+              planes.vx, planes.vy, planes.vz)
     in_specs = []
     args = []
     for field in s_flds:
         for v in range(3):
             in_specs.append(_src_spec(geom, v))
             args.append(field)
+    for v in range(3):
+        for dc in (-1, 0, 1):
+            in_specs.append(_rho_spec(geom, v, dc))
+            args.append(rho_out)
     for field in (*np_out, *nv_out):
         in_specs.append(_dstout_spec(geom))
         args.append(field)
@@ -446,41 +516,31 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     planes = PL.build_planes(s, params, geom)
     pvec = _make_pvec(params, dt)
 
-    # --- density (+ pointwise finish in cell-block space) ---
-    raw = density_call(planes, pvec, geom, interpret)
-    poly6_c = 315.0 / (64.0 * _PI * params.h**9)
-    rho0 = params.rest_density
-    rho_p = jnp.maximum(params.mass * poly6_c * raw,
-                        C.DENSITY_FLOOR_FRAC * rho0)
-    pres_p = jnp.maximum(params.gas_constant * (rho_p - rho0), 0.0)
-    g_on = PL.center_from_chunks(planes.ghost_on, geom) > 0.0
-    rho_p = jnp.where(g_on, rho0, rho_p)
-    pres_p = jnp.where(g_on, 0.0, pres_p)
+    # --- density: kernel outputs FINAL rho (floor + ghost override) ---
+    rho_out = density_call(planes, pvec, geom, interpret)
 
-    rho_ch = PL.rechunk_output(rho_p, geom, 1.0)
-    pres_ch = PL.rechunk_output(pres_p, geom, 0.0)
-
-    # --- force + integrate ---
-    f_outs = force_call(planes, rho_ch, pres_ch, pvec, geom, interpret)
+    # --- force + integrate (pressure from EOS in-kernel) ---
+    f_outs = force_call(planes, rho_out, pvec, geom, interpret)
     npx, npy, npz, nvx, nvy, nvz, ax, ay, az = f_outs
 
     # --- xsph vs pre-move neighbors ---
-    xs = xsph_call(planes, rho_ch, (npx, npy, npz), (nvx, nvy, nvz),
+    xs = xsph_call(planes, rho_out, (npx, npy, npz), (nvx, nvy, nvz),
                    pvec, geom, interpret)
 
     # --- one gather back to (sorted) particle order ---
     stacked = jnp.stack([npx, npy, npz, nvx, nvy, nvz, ax, ay, az,
-                         rho_p, pres_p, *xs], axis=0)  # [15, ny, nc, K, CW]
-    flat = stacked.reshape(15, -1).T
-    per = flat[PL.out_flat_index(s, geom)]              # [N, 15]
+                         rho_out, *xs], axis=0)        # [14, ny, nc, K, CW]
+    flat = stacked.reshape(14, -1).T
+    per = flat[PL.out_flat_index(s, geom)]              # [N, 14]
 
     new_pos = per[:, 0:3]
     nvel = per[:, 3:6]
     new_acc = per[:, 6:9]
     new_rho = per[:, 9]
-    new_pres = per[:, 10]
-    xsum = per[:, 11:14]
-    xnorm = per[:, 14]
+    new_pres = jnp.maximum(
+        params.gas_constant * (new_rho - params.rest_density), 0.0)
+    xsum = per[:, 10:13]
+    xnorm = per[:, 13]
 
     # XSPH apply + CFL speed cap in particle space
     inv = jnp.where(xnorm > 0.0,

@@ -223,7 +223,8 @@ class Planes(NamedTuple):
     overflow: jax.Array  # [] i32
 
 
-def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
+def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
+                 use_butterfly: bool = True) -> Planes:
     k = geom.cap
     num_cells = geom.num_cells
     pc_count = geom.padded_cells
@@ -232,8 +233,9 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
     m = unpack_meta(s.meta)
     contrib = m.contrib > 0
     in_bin = (s.rank < k) & (s.key < num_cells)
-    pc = padded_cell_index(s.key, geom)
-    slot = jnp.where(in_bin, pc * k + s.rank, pc_count * k)
+
+    overflow = jnp.sum(((s.rank >= k) & (s.key < num_cells)
+                        & (m.valid > 0)).astype(jnp.int32))
 
     src_pos = jnp.where(contrib[:, None], s.pos, SENTINEL_POS)
     packed = jnp.concatenate([
@@ -242,11 +244,28 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
         jnp.zeros((n, 1), jnp.float32),
     ], axis=1)                                            # [N, 8]
 
-    table = jnp.concatenate([
-        jnp.full((pc_count * k + 1, 3), SENTINEL_POS, jnp.float32),
-        jnp.zeros((pc_count * k + 1, 5), jnp.float32)], axis=1)
-    table = table.at[slot].set(packed, mode="drop", unique_indices=True)
-    table = table[:pc_count * k]
+    pc = padded_cell_index(s.key, geom)
+    key_p = jnp.where(s.key < num_cells, pc, pc_count)
+
+    if use_butterfly:
+        # monotone butterfly expand (neighbors/expand.py) — dense
+        # conditional-shift rounds instead of the slow TPU row scatter;
+        # hole cells (incl. the y/z/x halo borders) land the sentinel.
+        from sph_tpu.neighbors import expand as EX
+        eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzp * geom.nxp, cap=k)
+        hole = jnp.concatenate([
+            jnp.full((3,), SENTINEL_POS, jnp.float32),
+            jnp.zeros((5,), jnp.float32)])
+        table = EX.expand(packed, key_p, s.rank, overflow, eg, hole)
+        table = table.reshape(pc_count * k, 8)
+    else:
+        slot = jnp.where(in_bin, key_p * k + s.rank, pc_count * k)
+        table = jnp.concatenate([
+            jnp.full((pc_count * k + 1, 3), SENTINEL_POS, jnp.float32),
+            jnp.zeros((pc_count * k + 1, 5), jnp.float32)], axis=1)
+        table = table.at[slot].set(packed, mode="drop",
+                                   unique_indices=True)
+        table = table[:pc_count * k]
 
     # [Cp*K, 8] -> [nyp, NZX, K, 8] -> [8, nyp, K, NZX]
     planes = jnp.transpose(
@@ -261,9 +280,6 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom) -> Planes:
     occ_chunk = jnp.max(chunk_lanes(occ_cell, geom, 0.0), axis=-1)  # [nyp, nc]
     occ3 = jnp.maximum(jnp.maximum(occ_chunk[:-2], occ_chunk[1:-1]),
                        occ_chunk[2:])                    # [ny, n_chunks]
-
-    overflow = jnp.sum(((s.rank >= k) & (s.key < num_cells)
-                        & (m.valid > 0)).astype(jnp.int32))
 
     def cp(i, sent=0.0):
         # [nyp, K, NZX] -> [nyp, K, nc, CWH] -> [nyp, nc, K, CWH]
