@@ -50,26 +50,8 @@ def _build_scene(args):
         if not scene.load_preset(args.preset):
             sys.exit(f"preset not found: {args.preset}")
     if getattr(args, "river", False):
-        _enable_river(scene, args.seed)
+        scene.enable_river(args.seed)
     return scene
-
-
-def _enable_river(scene, seed: int) -> None:
-    import dataclasses
-
-    import jax.numpy as jnp
-
-    from sph_tpu.scene.river import (RiverSpec, generate_river_terrain,
-                                     river_params)
-    spec = RiverSpec.random(seed)
-    terrain = generate_river_terrain(
-        spec, scene.settings.box_center, scene.settings.box_half,
-        res=scene.config.terrain_res)
-    scene.params = river_params(scene.params, spec,
-                                scene.settings.box_center,
-                                scene.settings.box_half)
-    scene.config = dataclasses.replace(scene.config, river_mode=True)
-    scene.buffers = scene.buffers.replace(terrain=jnp.asarray(terrain))
 
 
 def cmd_run(args) -> None:

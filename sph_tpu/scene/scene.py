@@ -37,7 +37,7 @@ from sph_tpu.scene import reaction as R
 from sph_tpu.scene.sequencer import Sequencer
 from sph_tpu.scene.settings import (SceneSettings, apply_preset,
                                     gather_preset, needs_respawn,
-                                    to_viz_params)
+                                    to_viz_params, to_water_params)
 from sph_tpu.viz.camera import OrbitCamera, fit_camera
 
 MAX_SUBSTEPS_PER_FRAME = 16          # Scene0p.h:48
@@ -76,6 +76,9 @@ class Scene:
         self.sequencer = Sequencer(preset_dir=preset_dir)
         self.camera: OrbitCamera = fit_camera(self.settings.box_half)
         self.stencil_targets: Optional[np.ndarray] = None
+        self.river_spec = None
+        self.post_state = None
+        self.last_frame_dt = 1.0 / 60.0
         self.dt_accumulator = 0.0
         self.sim_time = 0.0
         self.pending_reset = False
@@ -189,23 +192,138 @@ class Scene:
         self.state = state
         self.params = params
         self.sim_time += frame_dt
+        self.last_frame_dt = frame_dt
         return n_sub
+
+    # --- river mode ----------------------------------------------------
+
+    def enable_river(self, seed: Optional[int] = None) -> None:
+        """Procedural canyon + channel-following stream recycling
+        (``SPHFluid3D.cpp:700-806``; latent in the reference UI,
+        first-class here)."""
+        from sph_tpu.scene.river import (RiverSpec, generate_river_terrain,
+                                         river_params)
+        spec = RiverSpec.random(self.seed if seed is None else seed)
+        terrain = generate_river_terrain(
+            spec, self.settings.box_center, self.settings.box_half,
+            res=self.config.terrain_res)
+        self.params = river_params(self.params, spec,
+                                   self.settings.box_center,
+                                   self.settings.box_half)
+        self.config = dataclasses.replace(self.config, river_mode=True)
+        self.buffers = self.buffers.replace(terrain=jnp.asarray(terrain))
+        self.river_spec = spec
 
     # --- rendering -----------------------------------------------------
 
-    def render(self, width: int = 960, height: int = 540) -> np.ndarray:
-        from sph_tpu.viz.splat import render_frame
-        vp = to_viz_params(
-            self.settings, anim_time=self.phases.anim_time,
-            hue_shift_live=self.live.hue_shift_deg,
-            bright_mul_live=self.live.bright_mul)
-        cam = dataclasses.replace(
+    def _camera_now(self) -> "OrbitCamera":
+        return dataclasses.replace(
             self.camera,
             distance=self.camera.distance * self.live.cam_dist_scale)
-        radius = 0.5 * self.settings.h * self.live.radius_scale
-        return render_frame(self.state, vp, cam, width=width, height=height,
-                            particle_radius=radius,
-                            background=tuple(self.settings.bg_color))
+
+    def render(self, width: int = 960, height: int = 540,
+               apply_post: bool = True) -> np.ndarray:
+        """One frame via the path selected by ``settings.render_mode``
+        (0=SSFR water, 1=impostor splats, 2=lit mesh spheres —
+        ``Scene0p.cpp:1412-1464``), then container wireframe overlay and
+        the post-FX chain."""
+        s = self.settings
+        vp = to_viz_params(
+            s, anim_time=self.phases.anim_time,
+            hue_shift_live=self.live.hue_shift_deg,
+            bright_mul_live=self.live.bright_mul)
+        cam = self._camera_now()
+        radius = 0.5 * s.h * self.live.radius_scale
+
+        if s.render_mode == 0:
+            from sph_tpu.viz.ssfr import render_water
+            img = render_water(self.state, to_water_params(s), cam,
+                               width=width, height=height,
+                               particle_radius=radius, vp=vp)
+        else:
+            from sph_tpu.viz.splat import render_frame
+            # mode 2 (instanced mesh spheres) differs from impostors only
+            # by true-geometry shading; headlessly both are lit splats,
+            # mesh mode forces the lit-sphere shading term on.
+            if s.render_mode == 2:
+                vp = dataclasses.replace(vp, lit_sphere=True)
+            img = render_frame(self.state, vp, cam,
+                               width=width, height=height,
+                               particle_radius=radius,
+                               background=tuple(s.bg_color))
+
+        if s.show_outline:
+            img = self._overlay_lines(img, cam, width, height)
+        if apply_post:
+            img = self._apply_post(img)
+        return img
+
+    def _overlay_lines(self, img: np.ndarray, cam, width: int,
+                       height: int) -> np.ndarray:
+        from sph_tpu.viz import wireframe as WF
+        s = self.settings
+        view = cam.view_matrix()
+        proj = cam.proj_matrix(width / height)
+        lines = WF.container_wireframe(
+            s.shape_type, s.box_half, s.box_center, s.box_euler,
+            aux=(tuple(s.shape_aux) if any(s.shape_aux)
+                 else (5.0, 0.35, 2.5)))
+        if self.river_spec is not None:
+            lines += WF.river_bank_lines(
+                self.river_spec, s.box_center, s.box_half)
+        return WF.draw_polylines(img, lines, view, proj,
+                                 color=tuple(s.outline_color))
+
+    def _apply_post(self, img: np.ndarray) -> np.ndarray:
+        from sph_tpu.viz import postfx as PF
+        pp = PF.post_params_from_settings(self.settings)
+        if not getattr(self, "post_state", None):
+            self.post_state = PF.PostState()
+        active = (pp.aperture > 0.0 or pp.trail_half_life > 1e-3
+                  or pp.bloom_strength > 0.0 or pp.streak_strength > 0.0
+                  or pp.kaleido_segments > 1 or pp.chromatic > 0.0
+                  or pp.vignette > 0.0 or pp.grain > 0.0)
+        if not active:
+            return img
+        out, self.post_state = PF.run_post_chain(
+            jnp.asarray(img, jnp.float32) / 255.0, pp, self.post_state,
+            self.last_frame_dt)
+        return (np.clip(np.asarray(out), 0.0, 1.0) * 255.0
+                ).astype(np.uint8)
+
+    def capture(self, path: str, size: str = "window",
+                width: int = 960, height: int = 540,
+                supersample: Optional[int] = None,
+                trail_warmup_frames: int = 40) -> Tuple[int, int]:
+        """High-quality still capture (``Scene0p::DoCapture``,
+        ``Scene0p.cpp:3525-3695``): square/4K/window size, 2x supersample
+        unless UV-warping post-FX are active, trail warmup when trails
+        are on.  Returns the written (width, height)."""
+        from sph_tpu.viz.splat import save_png
+        s = self.settings
+        if size == "square":
+            width = height = 3000                 # Scene0p.cpp:3526
+        elif size == "4k":
+            width, height = 3840, 2160
+        if supersample is None:
+            warping = (s.kaleido_segments > 1 or s.chromatic > 0.0
+                       or s.lens_aperture > 0.0)
+            supersample = 1 if warping else 2     # Scene0p.cpp:3555-3558
+        ss = max(1, supersample)
+
+        if s.trail_half_life > 1e-3:              # Scene0p.cpp:3630-3641
+            self.post_state = None
+            for _ in range(trail_warmup_frames):
+                self.update(1.0 / 60.0)
+                self.render(width, height)
+
+        img = self.render(width * ss, height * ss)
+        if ss > 1:
+            img = img.reshape(height, ss, width, ss, 3) \
+                     .mean(axis=(1, 3)).astype(np.uint8)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_png(img, path)
+        return width, height
 
     # --- presets -------------------------------------------------------
 

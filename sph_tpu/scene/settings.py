@@ -369,6 +369,29 @@ def needs_respawn(old: SceneSettings, new: SceneSettings) -> bool:
             or list(old.box_half) != list(new.box_half))
 
 
+def to_water_params(s: SceneSettings):
+    """SceneSettings -> the SSFR water-surface WaterParams."""
+    from sph_tpu.viz.ssfr import WaterParams
+    return WaterParams(
+        smooth_iterations=s.smooth_iterations,
+        world_filter_scale=s.world_filter_scale,
+        surface_merge=s.surface_merge,
+        thickness_strength=s.thickness_strength,
+        thickness_falloff=s.thickness_falloff,
+        radius_scale=s.render_radius_scale,
+        extinction=tuple(s.water_extinction),
+        thickness_scale=s.thickness_scale,
+        sun_dir=tuple(s.sun_dir), sun_color=tuple(s.sun_color),
+        deep_color=tuple(s.deep_water_color),
+        specular_power=s.specular_power,
+        specular_strength=s.specular_strength,
+        refraction_strength=s.refraction_strength,
+        fresnel_bias=s.fresnel_bias,
+        sky_horizon=tuple(s.sky_horizon), sky_zenith=tuple(s.sky_zenith),
+        foam_amount=s.foam_amount, exposure=s.exposure,
+        sky_on=s.sky_on, bg_color=tuple(s.bg_color))
+
+
 def to_viz_params(s: SceneSettings, anim_time: float = 0.0,
                   hue_shift_live: float | None = None,
                   bright_mul_live: float | None = None):

@@ -105,6 +105,28 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
     sun_world = np.asarray(vp.sun_dir, np.float32)
     sun_world /= max(np.linalg.norm(sun_world), 1e-9)
     light = view[:3, :3] @ sun_world
+
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        buf = np.ascontiguousarray(img, np.float32)
+        fp = np.ctypeslib.as_ctypes_type(np.float32)
+
+        def ptr(a):
+            return np.ascontiguousarray(a, np.float32).ctypes.data_as(
+                ctypes.POINTER(fp))
+
+        lib.splat_raster(
+            ctypes.c_int(len(idx)), ptr(cx), ptr(cy),
+            ptr(rad_px), ptr(col), ctypes.c_int(width),
+            ctypes.c_int(height),
+            buf.ctypes.data_as(ctypes.POINTER(fp)),
+            ctypes.c_int(1 if vp.lit_sphere else 0),
+            ptr(light), ptr(np.asarray(vp.sun_color, np.float32)),
+            ctypes.c_int(r))
+        img = buf.reshape(height, width, 3)
+        return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             d = np.sqrt(dx * dx + dy * dy)
@@ -132,6 +154,13 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
             img[y[inb] * width + x[inb]] = c
     img = img.reshape(height, width, 3)
     return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def _native_lib():
+    """Native painter-splat rasterizer (sph_tpu/native/splat_raster.cpp);
+    None -> numpy fallback."""
+    from sph_tpu import native
+    return native.load("splat_raster")
 
 
 def save_png(img: np.ndarray, path: str) -> None:

@@ -102,6 +102,25 @@ def splat_depth_thickness(pos, foam, view, proj, width, height,
     order = np.argsort(vz, kind="stable")        # vz negative: most negative
     cx, cy, vz, fo, rad_px = (a[order] for a in (cx, cy, vz, fo, rad_px))
 
+    from sph_tpu import native
+    lib = native.load("splat_raster")
+    if lib is not None:
+        import ctypes
+        fp = ctypes.POINTER(ctypes.c_float)
+
+        def ptr(a):
+            return np.ascontiguousarray(a, np.float32).ctypes.data_as(fp)
+
+        lib.ssfr_splat(
+            ctypes.c_int(len(cx)), ptr(cx), ptr(cy), ptr(vz),
+            ptr(rad_px), ptr(fo), ctypes.c_float(float(particle_radius)),
+            ctypes.c_int(width), ctypes.c_int(height),
+            depth.ctypes.data_as(fp), thick.ctypes.data_as(fp),
+            foam_img.ctypes.data_as(fp))
+        return (depth.reshape(height, width),
+                thick.reshape(height, width),
+                foam_img.reshape(height, width))
+
     r = 3
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):

@@ -135,3 +135,51 @@ def test_render_ghosts_hidden(dam_break_small):
     img = render_frame(ghost_state, vp, cam, width=64, height=36)
     bg = (np.array([0.03, 0.04, 0.06]) * 255).astype(np.uint8)
     assert (img == bg[None, None, :]).all()
+
+
+def _tiny_scene():
+    from sph_tpu.core import state as S
+    spawn = S.spawn_standard(512, h=0.28, box_half=(4.0, 4.0, 4.0), seed=3)
+    st = S.state_from_spawn(spawn)
+    vp = P.VizParams(palette_id=2, color_drive=P.DRIVE_SPEED,
+                     lit_sphere=True)
+    cam = fit_camera(np.asarray([4.0, 4.0, 4.0]))
+    return st, vp, cam
+
+
+def test_native_splat_matches_numpy(monkeypatch):
+    """The C++ rasterizer and the numpy fallback agree (the native path
+    is painter-exact across offsets, so allow a small differing-pixel
+    fraction at particle overlaps)."""
+    from sph_tpu import native
+    from sph_tpu.viz import splat as SP
+    if native.load("splat_raster") is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    st, vp, cam = _tiny_scene()
+    a = SP.render_frame(st, vp, cam, width=160, height=120)
+    monkeypatch.setattr(SP, "_native_lib", lambda: None)
+    b = SP.render_frame(st, vp, cam, width=160, height=120)
+    diff = (np.abs(a.astype(int) - b.astype(int)) > 2).any(axis=-1)
+    assert diff.mean() < 0.02
+
+
+def test_native_ssfr_splat_matches_numpy(monkeypatch):
+    from sph_tpu import native
+    from sph_tpu.viz import ssfr as SS
+    lib = native.load("splat_raster")
+    if lib is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    st, vp, cam = _tiny_scene()
+    view = cam.view_matrix()
+    proj = cam.proj_matrix(160 / 120)
+    d1, t1, f1 = SS.splat_depth_thickness(
+        st.pos, st.foam, view, proj, 160, 120, 0.2)
+    monkeypatch.setattr(native, "load", lambda name: None)
+    d2, t2, f2 = SS.splat_depth_thickness(
+        st.pos, st.foam, view, proj, 160, 120, 0.2)
+    # depth assignment differs only where splats overlap
+    assert (np.abs(d1 - d2) > 1e-4).mean() < 0.02
+    np.testing.assert_allclose(t1, t2, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(f1, f2, rtol=1e-4, atol=1e-4)
