@@ -67,6 +67,30 @@ def main() -> None:
     assert not bool(np.isnan(np.asarray(state.pos[:1024])).any()), \
         "NaN in positions after bench run"
 
+    if cfg.viz_export:
+        # BASELINE config 5: headless frame export in all 4 viz modes
+        # (height/speed/pressure/density) from the final state.
+        import os
+        from sph_tpu.viz import palettes as PAL
+        from sph_tpu.viz.camera import fit_camera
+        from sph_tpu.viz.splat import render_frame, save_png
+        out_dir = "bench_frames"
+        os.makedirs(out_dir, exist_ok=True)
+        cam = fit_camera(np.asarray(cfg.box_half, np.float32))
+        t0 = time.time()
+        for mode, name in ((PAL.DRIVE_HEIGHT, "height"),
+                           (PAL.DRIVE_SPEED, "speed"),
+                           (PAL.DRIVE_PRESSURE, "pressure"),
+                           (PAL.DRIVE_DENSITY, "density")):
+            vp = PAL.VizParams(
+                palette_id=1, color_drive=mode,
+                height_min=-cfg.box_half[1], height_max=cfg.box_half[1])
+            img = render_frame(state, vp, cam, width=960, height=540,
+                               particle_radius=0.5 * cfg.h)
+            save_png(img, os.path.join(out_dir, f"{config_name}_{name}.png"))
+        print(f"[bench] viz export (4 modes, {n_fluid} particles): "
+              f"{time.time() - t0:.1f}s -> {out_dir}/", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"particle-steps/sec @ {config_name}",
         "value": round(psteps, 1),

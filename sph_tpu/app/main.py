@@ -113,10 +113,10 @@ def cmd_screenshot(args) -> None:
     frame_dt = 1.0 / 60.0
     for _ in range(args.warmup_frames):
         scene.update(frame_dt)
-    from sph_tpu.viz.splat import save_png
-    img = scene.render(args.width, args.height)
-    save_png(img, args.out)
-    print(f"wrote {args.out} ({args.width}x{args.height})")
+    w, h = scene.capture(args.out, size="window",
+                         width=args.width, height=args.height,
+                         supersample=args.supersample)
+    print(f"wrote {args.out} ({w}x{h})")
 
 
 def cmd_art(args) -> None:
@@ -172,6 +172,8 @@ def main(argv=None) -> None:
     p.add_argument("--width", type=int, default=3000)
     p.add_argument("--height", type=int, default=3000)
     p.add_argument("--warmup-frames", type=int, default=40)
+    p.add_argument("--supersample", type=int, default=None,
+                   help="default: 2x unless UV-warping post-FX are on")
     p.set_defaults(fn=cmd_screenshot)
 
     p = sub.add_parser("art", help="list art presets")

@@ -204,14 +204,20 @@ def spawn_standard(n_target: int, *, h: float = 0.28, rest_density: float = 1000
 
 
 def spawn_ghost_box_shell(*, h: float = 0.28, box_center=(0.0, 0.0, 0.0),
-                          box_half=(7.0, 7.0, 7.0), layers: int = 2) -> SpawnResult:
+                          box_half=(7.0, 7.0, 7.0), layers: int = 1) -> SpawnResult:
     """Ghost boundary particles on the 6 box faces, tagged per-face.
 
     The reference carries the machinery (``isGhost``/``isActive`` flags,
     shader short-circuits ``SPHFluid.comp:71-83``) but never spawns ghosts;
     BASELINE config 4 requires it, so the spawn itself is new design: a
-    ``layers``-deep lattice shell just outside each face at spacing 0.85h.
+    lattice shell just outside each face at in-plane spacing 0.85h.
     Face ids: 0 = -X, 1 = +X, 2 = -Y, 3 = +Y, 4 = -Z, 5 = +Z.
+
+    Default is a SINGLE layer at 0.45h outside the face: a second layer
+    would sit >h from every interior point — outside poly6 support, pure
+    dead weight — and (being past the grid's 1-cell margin) would clamp
+    into the edge cells of the spatial grid, inflating their slot
+    occupancy and so the Pallas kernels' occupancy bounds grid-wide.
     """
     spacing = 0.85 * h
     hf = np.asarray(box_half, np.float32)
@@ -226,7 +232,7 @@ def spawn_ghost_box_shell(*, h: float = 0.28, box_center=(0.0, 0.0, 0.0),
         for side in (0, 1):  # -face, +face
             sgn = -1.0 if side == 0 else 1.0
             for layer in range(layers):
-                w = sgn * (hf[axis] + (layer + 0.5) * spacing)
+                w = sgn * (hf[axis] + (0.45 + 0.9 * layer) * h)
                 uu, vv = np.meshgrid(us, vs, indexing="ij")
                 p = np.zeros((uu.size, 3), np.float32)
                 p[:, axis] = w

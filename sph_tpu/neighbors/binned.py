@@ -178,12 +178,27 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     dims = config.grid_dims
     cap = config.cell_capacity
     unroll = config.sweep_unroll
-    num_cells = int(np.prod(dims))
 
     key = compute_keys(state, params, dims)
     s = sort_state(state, key,
                    state.contrib_mask(params.ghost_face_active))
     bins = build_bins(s, params, dims, cap)
+    return solve_from_bins(s, bins, params, dims, cap, unroll, dt)
+
+
+def solve_from_bins(s: SortedState, bins: Bins, params: FluidParams,
+                    dims: Tuple[int, int, int], cap: int, unroll: bool,
+                    dt: jax.Array, rho_halo_fix=None) -> ParticleState:
+    """Sweeps + integration + reassembly from pre-built bins.  Split out
+    so the multi-chip slab engine (``parallel/slabs.py``) can run it on
+    LOCAL bins whose halo rows were filled by ppermute exchange.
+
+    ``rho_halo_fix(rho_pad, pres_pad) -> (rho_pad, pres_pad)``: hook for
+    that engine to fill the halo rows of the density/pressure planes with
+    the neighbor slabs' edge values before the force sweep (single-device
+    halo cells hold no particles, so the default pad values never pair).
+    """
+    num_cells = int(np.prod(dims))
 
     # --- density (plane layout) ---
     rho_raw = S.density_sweep(bins, params, dims, cap, unroll)
@@ -195,6 +210,8 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     pres_p = jnp.where(g_on, 0.0, pres_p)
     rho_pad = S.pad_plane(rho_p, dims, 1.0)
     pres_pad = S.pad_plane(pres_p, dims)
+    if rho_halo_fix is not None:
+        rho_pad, pres_pad = rho_halo_fix(rho_pad, pres_pad)
 
     # --- force sweep + acc assembly (SPHFluid.comp:156-166) ---
     fx, fy, fz, gcx, gcy, gcz, lc = S.force_sweep(

@@ -22,11 +22,14 @@ Kernel structure (all three share it):
   center view doubles as the destination block (no separate dst fetch).
 - The source-slot loop ``k2`` is a static 8-iteration unroll *inside*
   the kernel; each iteration is wrapped in ``pl.when(k2 < occ)`` where
-  ``occ = occ3[y, chunk]`` is a scalar-prefetched bound on the max
-  occupied slot over the 3 contributing y-rows + halo lanes — compute
-  scales with real occupancy, and fully-empty chunks skip everything
-  (the TPU equivalent of the reference dispatching only ceil(N/256)
-  workgroups).
+  ``occ = max_v occ_rows[y + v, chunk]`` is a scalar-prefetched bound
+  on the max occupied slot over the 3 contributing y-rows' chunk
+  windows + halo lanes — compute scales with real occupancy, and
+  fully-empty chunks skip everything (the TPU equivalent of the
+  reference dispatching only ceil(N/256) workgroups).  (Per-row
+  gating of the k2 loop was measured SLOWER: it triples the number of
+  conditional regions and therefore the accumulator flush traffic
+  through VMEM refs.)
 - Every neighbor-cell offset (dy, dz, dx) is a *static lane slice*
   ``src[k2, H + dz*nxp + dx : +CW]`` of the halo-extended chunk, so the
   27 sweeps compile to pure VPU code with zero gathers (the TPU-shaped
@@ -95,6 +98,25 @@ def _offsets(geom: PL.PlaneGeom):
             for dx in (-1, 0, 1):
                 yield v, geom.halo + dz * geom.nxp + dx, (
                     v == 1 and dz == 0 and dx == 0)
+
+
+def _lane_offsets(geom: PL.PlaneGeom, v: int):
+    """(lane_offset, is_zero_offset) for one y-view's 9 neighbor cells."""
+    for dz in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yield geom.halo + dz * geom.nxp + dx, (
+                v == 1 and dz == 0 and dx == 0)
+
+
+def _row_occs(occ_ref, y, c):
+    """(src slot bound over the 3 contributing y-rows, center-row fluid
+    dest gate) from the packed occupancy table (planes.py: low 4 bits =
+    max occupied slot, bit 4 = center window holds fluid)."""
+    rows = [occ_ref[y + v, c] for v in range(3)]
+    occ = jnp.maximum(jnp.maximum(rows[0] & 15, rows[1] & 15),
+                      rows[2] & 15)
+    dest = (rows[1] >> 4) & 1
+    return occ, dest
 
 
 def _src_spec(geom: PL.PlaneGeom, view: int) -> pl.BlockSpec:
@@ -194,7 +216,7 @@ def _density_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     rho_ref = refs[10]
     y = pl.program_id(0)
     c = pl.program_id(1)
-    occ = occ_ref[y, c]
+    occ, dest = _row_occs(occ_ref, y, c)
     h2 = pvec_ref[_PV_H2]
     cw = geom.cw
     rho0 = pvec_ref[_PV_RHO0]
@@ -202,7 +224,7 @@ def _density_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     rho_ref[...] = jnp.full(rho_ref.shape, pvec_ref[_PV_RHO_FLOOR],
                             jnp.float32)
 
-    @pl.when(occ > 0)
+    @pl.when((occ > 0) & (dest > 0))
     def _():
         sx = _src_rows(spx)
         sy = _src_rows(spy)
@@ -224,13 +246,16 @@ def _density_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
                     d = jnp.maximum(h2 - r2, 0.0)
                     acc = acc + d * d * d
                 rho_ref[0, 0] += acc
-        # pointwise finish: mass*poly6 scale + floor + ghost override
-        # (SPHFluid.comp:105; ghost rho = rho0, SPHFluid.comp:71-83)
+        # pointwise finish: mass*poly6 scale + floor (SPHFluid.comp:105)
         raw = rho_ref[0, 0]
         scale = pvec_ref[_PV_MASS] * pvec_ref[_PV_POLY6]
-        rho = jnp.maximum(raw * scale, pvec_ref[_PV_RHO_FLOOR])
-        g_on = ghost_ref[0, 0][:, geom.halo:geom.halo + cw] > 0.0
-        rho_ref[0, 0] = jnp.where(g_on, rho0, rho)
+        rho_ref[0, 0] = jnp.maximum(raw * scale, pvec_ref[_PV_RHO_FLOOR])
+
+    # ghost override OUTSIDE the dest gate (ghost rho = rho0,
+    # SPHFluid.comp:71-83): ghosts in fluid-free windows are still read
+    # as neighbor sources by adjacent windows' force/xsph passes.
+    g_on = ghost_ref[0, 0][:, geom.halo:geom.halo + cw] > 0.0
+    rho_ref[0, 0] = jnp.where(g_on, rho0, rho_ref[0, 0])
 
 
 def density_call(planes: PL.Planes, pvec: jax.Array, geom: PL.PlaneGeom,
@@ -250,7 +275,7 @@ def density_call(planes: PL.Planes, pvec: jax.Array, geom: PL.PlaneGeom,
         out_shape=_out_shape(geom),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(planes.occ3, pvec, *args)
+    )(planes.occ_rows, pvec, *args)
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +291,7 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     acc_ref = refs[36]
     y = pl.program_id(0)
     c = pl.program_id(1)
-    occ = occ_ref[y, c]
+    occ, dest = _row_occs(occ_ref, y, c)
     cw = geom.cw
     kk = geom.cap
     h = pvec_ref[_PV_H]
@@ -280,7 +305,7 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     for o in outs:
         o[...] = jnp.zeros(o.shape, jnp.float32)
 
-    @pl.when(occ > 0)
+    @pl.when((occ > 0) & (dest > 0))
     def _():
         sv = [_src_rows(fld) for fld in s_fields]
         (sxv, syv, szv, svxv, svyv, svzv) = sv
@@ -295,6 +320,10 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
         cvy = _center(svyv, geom)
         cvz = _center(svzv, geom)
         cpres = _center(spresv, geom)
+
+        # hoisted per-src-element mass/rho (one divide per row instead of
+        # one per (row, offset) pair)
+        sminvv = [mass / jnp.maximum(r, 1e-12) for r in srhov]
 
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
         for k2 in range(kk):
@@ -313,18 +342,18 @@ def _force_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
                     ddy = cy - syv[v][k2, off:off + cw]
                     ddz = cz - szv[v][k2, off:off + cw]
                     r2 = ddx * ddx + ddy * ddy + ddz * ddz
-                    r = jnp.sqrt(r2)
+                    # one rsqrt replaces sqrt + the 1/r divide
+                    rinv = lax.rsqrt(jnp.maximum(r2, 1e-24))
+                    r = r2 * rinv
                     inside = r < h
                     if zero_off:
                         inside = inside & ~self_row
-                    srho = srhov[v][k2, off:off + cw]
                     spres = spresv[v][k2, off:off + cw]
-                    mw = jnp.where(inside,
-                                   mass / jnp.maximum(srho, 1e-12), 0.0)
+                    mw = jnp.where(inside, sminvv[v][k2, off:off + cw],
+                                   0.0)
                     dcl = jnp.maximum(h - r, 0.0)
-                    gmag = jnp.where(
-                        r > 0.0,
-                        spiky_c * dcl * dcl / jnp.maximum(r, 1e-12), 0.0)
+                    gmag = jnp.where(r2 > 0.0,
+                                     spiky_c * dcl * dcl * rinv, 0.0)
                     lapw = visc_lap_c * dcl
                     pscale = -(cpres + spres) * 0.5 * mw * gmag
                     vscale = mw * lapw * mu
@@ -402,7 +431,7 @@ def force_call(planes: PL.Planes, rho_out: jax.Array,
         out_shape=[_out_shape(geom)] * 9,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(planes.occ3, pvec, *args)
+    )(planes.occ_rows, pvec, *args)
     return outs  # npx, npy, npz, nvx, nvy, nvz, ax, ay, az
 
 
@@ -417,7 +446,7 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     xs_refs = refs[33:37]
     y = pl.program_id(0)
     c = pl.program_id(1)
-    occ = occ_ref[y, c]
+    occ, dest = _row_occs(occ_ref, y, c)
     cw = geom.cw
     kk = geom.cap
     h2 = pvec_ref[_PV_H2]
@@ -427,7 +456,7 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
     for o in xs_refs:
         o[...] = jnp.zeros(o.shape, jnp.float32)
 
-    @pl.when(occ > 0)
+    @pl.when((occ > 0) & (dest > 0))
     def _():
         sv = [_src_rows(fld) for fld in s_fields]
         (sxv, syv, szv, svxv, svyv, svzv) = sv
@@ -438,6 +467,7 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
         cvx = dnvx[0, 0]
         cvy = dnvy[0, 0]
         cvz = dnvz[0, 0]
+        sminvv = [mass / jnp.maximum(r, 1e-12) for r in srhov]
         for k2 in range(kk):
             @pl.when(k2 < occ)
             def _(k2=k2):
@@ -456,8 +486,7 @@ def _xsph_kernel(geom: PL.PlaneGeom, occ_ref, pvec_ref, *refs):
                         inside = inside & ~self_row
                     d = jnp.maximum(h2 - r2, 0.0)
                     w = jnp.where(inside, poly6_c * d * d * d, 0.0)
-                    mw = w * mass / jnp.maximum(srhov[v][k2, off:off + cw],
-                                                1e-12)
+                    mw = w * sminvv[v][k2, off:off + cw]
                     xx = xx + mw * (svxv[v][k2, off:off + cw] - cvx)
                     xy = xy + mw * (svyv[v][k2, off:off + cw] - cvy)
                     xz = xz + mw * (svzv[v][k2, off:off + cw] - cvz)
@@ -492,7 +521,7 @@ def xsph_call(planes: PL.Planes, rho_out: jax.Array,
         out_shape=[_out_shape(geom)] * 4,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(planes.occ3, pvec, *args)
+    )(planes.occ_rows, pvec, *args)
 
 
 # ---------------------------------------------------------------------------

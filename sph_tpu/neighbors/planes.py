@@ -218,7 +218,7 @@ class Planes(NamedTuple):
     vy: jax.Array
     vz: jax.Array
     ghost_on: jax.Array
-    occ3: jax.Array      # [ny, n_chunks] i32: max slot bound over y+-1 & chunk
+    occ_rows: jax.Array  # [nyp, n_chunks] i32: max slot bound per row & chunk
     in_bin: jax.Array    # [N] bool
     overflow: jax.Array  # [] i32
 
@@ -272,14 +272,21 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
         table.reshape(geom.nyp, geom.nzx, k, 8), (3, 0, 2, 1))
 
     # Slot bound per cell (max occupied slot + 1) from the sentinel
-    # pattern, then max over each chunk window + halo and the 3 y-rows
-    # feeding program y.
+    # pattern, maxed over each chunk window + halo.  Bit 4 carries a
+    # dest gate: "this row's CENTER window (no halo) holds any FLUID
+    # particle" — windows holding only ghosts/empties (e.g. the wall
+    # shells above the fluid surface) are pure neighbor *sources*, so
+    # the kernels skip their pair loops entirely.
     occupied = planes[0] < SENTINEL_POS * 0.5            # [nyp, K, NZX]
     slot_ids = jnp.arange(1, k + 1, dtype=jnp.int32).reshape(1, k, 1)
     occ_cell = jnp.max(jnp.where(occupied, slot_ids, 0), axis=1)  # [nyp, NZX]
     occ_chunk = jnp.max(chunk_lanes(occ_cell, geom, 0.0), axis=-1)  # [nyp, nc]
-    occ3 = jnp.maximum(jnp.maximum(occ_chunk[:-2], occ_chunk[1:-1]),
-                       occ_chunk[2:])                    # [ny, n_chunks]
+    fluid_cell = jnp.any(occupied & (planes[6] <= 0.0), axis=1)   # [nyp, NZX]
+    pad_tail = geom.nzxp - geom.nzx
+    fluid_win = jnp.pad(fluid_cell, ((0, 0), (0, pad_tail))) \
+        .reshape(geom.nyp, geom.n_chunks, geom.cw)
+    dest_any = jnp.any(fluid_win, axis=-1).astype(jnp.int32)      # [nyp, nc]
+    occ_chunk = occ_chunk | (dest_any << 4)
 
     def cp(i, sent=0.0):
         # [nyp, K, NZX] -> [nyp, K, nc, CWH] -> [nyp, nc, K, CWH]
@@ -290,7 +297,7 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
         px=cp(0, SENTINEL_POS), py=cp(1, SENTINEL_POS),
         pz=cp(2, SENTINEL_POS),
         vx=cp(3), vy=cp(4), vz=cp(5), ghost_on=cp(6),
-        occ3=occ3, in_bin=in_bin, overflow=overflow)
+        occ_rows=occ_chunk, in_bin=in_bin, overflow=overflow)
 
 
 def center_from_chunks(plane: jax.Array, geom: PlaneGeom) -> jax.Array:

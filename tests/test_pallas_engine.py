@@ -1,0 +1,66 @@
+"""Pallas neighbor engine vs the brute-force oracle (interpret mode on
+CPU; the same kernels run compiled on TPU — scripts/check_pallas.py)."""
+import numpy as np
+import pytest
+
+from sph_tpu.core import state as S
+from sph_tpu.core.params import (FluidParams, SimConfig, compute_grid_dims,
+                                 SHAPE_BOX)
+from sph_tpu.engine.step import SceneBuffers, run_substeps
+
+
+def _run(state, params, dims, impl, n_sub=5):
+    cfg = SimConfig(n=state.n, grid_dims=dims, neighbor_impl=impl)
+    buf = SceneBuffers.create(cfg)
+    out, _ = run_substeps(state, params, buf, params.dt, n_sub, cfg)
+    return out
+
+
+def _align(a, b):
+    """Realign b's rows to a by orig_id (engines may reorder)."""
+    ia = np.argsort(np.asarray(a.orig_id), kind="stable")
+    ib = np.argsort(np.asarray(b.orig_id), kind="stable")
+    return ia, ib
+
+
+def test_pallas_matches_brute_dam_break():
+    half = (4.0, 4.0, 4.0)
+    spawn = S.spawn_standard(512, h=0.28, box_half=half, seed=0)
+    state = S.state_from_spawn(spawn)
+    params = FluidParams.default(
+        box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), 0.28)
+
+    sb = _run(state, params, dims, "brute")
+    sp = _run(state, params, dims, "pallas")
+    ia, ib = _align(sb, sp)
+    dpos = np.abs(np.asarray(sb.pos)[ia] - np.asarray(sp.pos)[ib])
+    drho = np.abs(np.asarray(sb.density)[ia] - np.asarray(sp.density)[ib])
+    assert dpos.max() < 1e-4
+    assert drho.max() < 1e-1
+
+
+def test_pallas_matches_brute_with_ghost_shell():
+    """Ghost wall shells: exercises the dest-fluid gating (windows above
+    the fluid hold only ghost sources) and the unconditional ghost-rho
+    override in the density kernel."""
+    half = (3.0, 3.0, 3.0)
+    fluid = S.spawn_standard(256, h=0.28, box_half=half, seed=1)
+    shell = S.spawn_ghost_box_shell(h=0.28, box_half=half)
+    spawn = S.concat_spawns(fluid, shell)
+    state = S.state_from_spawn(spawn)
+    params = FluidParams.default(
+        box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), 0.28)
+
+    sb = _run(state, params, dims, "brute")
+    sp = _run(state, params, dims, "pallas")
+    ia, ib = _align(sb, sp)
+    ghost = np.asarray(sb.ghost)[ia] > 0
+    dpos = np.abs(np.asarray(sb.pos)[ia] - np.asarray(sp.pos)[ib])
+    assert dpos.max() < 1e-4
+    # ghosts never move and carry rho0 in both engines
+    rho_p = np.asarray(sp.density)[ib]
+    assert np.allclose(rho_p[ghost], 1000.0)
+    v_p = np.asarray(sp.vel)[ib]
+    assert np.abs(v_p[ghost]).max() == 0.0
