@@ -106,15 +106,17 @@ timed("xsph_kernel", scanned(xsph_body), pvec, planes, rho_out,
       tuple(f_outs[0:3]), tuple(f_outs[3:6]))
 
 
-def gather_body(x):
-    stacked = jnp.stack([f_outs[0] + x * 1e-20, *f_outs[1:9],
-                         rho_out, f_outs[0], f_outs[1], f_outs[2],
-                         rho_out], axis=0)
+def gather_body(x, fo, rc, s_):
+    # NOTE: fo/rc/s_ must be ARGS — closing over them embeds ~1 GB of
+    # array constants in the compile request (HTTP 413 over the tunnel).
+    stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
+                         rc, fo[0], fo[1], fo[2], rc], axis=0)
     flat = stacked.reshape(14, -1).T
-    per = flat[PL.out_flat_index(s, geom)]
+    per = flat[PL.out_flat_index(s_, geom)]
     return (per[:, 0] * 1e-20).sum() + x * 1.0000001
 
-timed("output_gather", scanned(gather_body), jnp.float32(1.0))
+timed("output_gather", scanned(gather_body), jnp.float32(1.0),
+      tuple(f_outs), rho_out, s)
 
 
 def full_body(pos, p):

@@ -34,7 +34,7 @@ class BenchConfig:
     n_target: int
     box_half: Tuple[float, float, float]
     h: float = 0.28
-    neighbor_impl: str = "binned"
+    neighbor_impl: str = "pallas"
     box_euler_deg: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     surface_tension: float = 0.0728
     ghosts: bool = False

@@ -83,6 +83,101 @@ def _slab_align(rows: jax.Array, starts: jax.Array, slots: int) -> jax.Array:
     return jax.vmap(one)(starts)
 
 
+def _slab_align_T(rows_t: jax.Array, starts: jax.Array,
+                  slots: int) -> jax.Array:
+    """[F, Npad + slots] -> [ny, F, slots] slab-aligned (lane-major)."""
+    f = rows_t.shape[0]
+
+    def one(s):
+        return lax.dynamic_slice(rows_t, (0, s), (f, slots))
+    return jax.vmap(one)(starts)
+
+
+def _butterfly_T(x, dist, live, rounds: int, direction: int):
+    """Conditional-shift rounds over [ny, F, S] x / [ny, S] dist+live.
+
+    Lane-major variant of ``_butterfly``: slots ride the LANE dimension
+    (full VPU tiles) instead of an F=8 minor dim that wastes 15/16 of
+    every (8,128) tile — the difference is ~5x at 1M particles."""
+    s = x.shape[-1]
+    order = reversed(range(rounds)) if direction > 0 else range(rounds)
+    for b in order:
+        sh = 1 << b
+        if direction > 0:
+            xs = jnp.pad(x, ((0, 0), (0, 0), (sh, 0)))[..., :s]
+            ds = jnp.pad(dist, ((0, 0), (sh, 0)))[:, :s]
+            ls = jnp.pad(live, ((0, 0), (sh, 0)))[:, :s]
+        else:
+            xs = jnp.pad(x, ((0, 0), (0, 0), (0, sh)))[..., sh:]
+            ds = jnp.pad(dist, ((0, 0), (0, sh)))[:, sh:]
+            ls = jnp.pad(live, ((0, 0), (0, sh)))[:, sh:]
+        take = ls & (((ds >> b) & 1) == 1)
+        vacate = live & (((dist >> b) & 1) == 1)
+        x = jnp.where(take[:, None, :], xs, x)
+        dist = jnp.where(take, ds - sh, dist)
+        live = take | (live & ~vacate)
+    return x, live
+
+
+def expand_butterfly_T(sorted_fields: jax.Array, key: jax.Array,
+                       rank: jax.Array, eg: ExpandGeom,
+                       hole_fill: jax.Array) -> jax.Array:
+    """[N, F] sorted rows -> [ny, F, slots] slot table, slots lane-major
+    (slot = local_cell * K + rank within each slab)."""
+    n, f = sorted_fields.shape
+    k = eg.cap
+    s = eg.slots
+    num_cells = eg.ny * eg.cps
+
+    start, counts = cell_starts(key, num_cells)
+    slab_starts = start[jnp.arange(eg.ny, dtype=jnp.int32) * eg.cps]
+    slab_counts = jnp.concatenate([slab_starts[1:], start[-1:]]) - slab_starts
+
+    rows_t = jnp.concatenate(
+        [sorted_fields.T, jnp.zeros((f, s), sorted_fields.dtype)], axis=1)
+    x = _slab_align_T(rows_t, slab_starts, s)            # [ny, F, S]
+
+    kr_t = jnp.stack([key, jnp.minimum(rank, k - 1)], axis=0)
+    kr_t = jnp.concatenate([kr_t, jnp.zeros((2, s), jnp.int32)], axis=1)
+    kr = _slab_align_T(kr_t, slab_starts, s)             # [ny, 2, S]
+    local_cell = jnp.clip(
+        kr[:, 0]
+        - (jnp.arange(eg.ny, dtype=jnp.int32) * eg.cps)[:, None],
+        0, eg.cps - 1)
+    t_idx = jnp.arange(s, dtype=jnp.int32)[None, :]
+    dist = jnp.maximum(local_cell * k + kr[:, 1] - t_idx, 0)
+    live = t_idx < slab_counts[:, None]
+
+    x, live = _butterfly_T(x, dist, live, eg.rounds, direction=+1)
+
+    counts_slab = counts.reshape(eg.ny, eg.cps)
+    k_of = jnp.tile(jnp.arange(k, dtype=jnp.int32), eg.cps)[None, :]
+    occupied = k_of < jnp.repeat(counts_slab, k, axis=1)  # [ny, S]
+    return jnp.where(occupied[:, None, :], x,
+                     hole_fill[None, :, None])
+
+
+def expand_scatter_T(sorted_fields: jax.Array, key: jax.Array,
+                     rank: jax.Array, eg: ExpandGeom,
+                     hole_fill: jax.Array) -> jax.Array:
+    """Overflow fallback in the lane-major [ny, F, S] layout."""
+    table = expand_scatter(sorted_fields, key, rank, eg, hole_fill)
+    # [ny, cps, k, F] -> [ny, F, cps*k]
+    return jnp.transpose(table, (0, 3, 1, 2)).reshape(
+        eg.ny, table.shape[-1], eg.slots)
+
+
+def expand_T(sorted_fields, key, rank, overflow, eg: ExpandGeom, hole_fill):
+    """Lane-major expand: [N, F] -> [ny, F, S] (butterfly, scatter on
+    overflow)."""
+    fill = jnp.asarray(hole_fill, sorted_fields.dtype)
+    return lax.cond(
+        overflow == 0,
+        lambda a: expand_butterfly_T(a, key, rank, eg, fill),
+        lambda a: expand_scatter_T(a, key, rank, eg, fill),
+        sorted_fields)
+
+
 def _butterfly(x, dist, live, rounds: int, direction: int):
     """Shared conditional-shift rounds over [ny, S, F] x / [ny, S] dist+live.
 

@@ -247,29 +247,22 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
     pc = padded_cell_index(s.key, geom)
     key_p = jnp.where(s.key < num_cells, pc, pc_count)
 
+    from sph_tpu.neighbors import expand as EX
+    eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzp * geom.nxp, cap=k)
+    hole = jnp.concatenate([
+        jnp.full((3,), SENTINEL_POS, jnp.float32),
+        jnp.zeros((5,), jnp.float32)])
     if use_butterfly:
-        # monotone butterfly expand (neighbors/expand.py) — dense
-        # conditional-shift rounds instead of the slow TPU row scatter;
-        # hole cells (incl. the y/z/x halo borders) land the sentinel.
-        from sph_tpu.neighbors import expand as EX
-        eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzp * geom.nxp, cap=k)
-        hole = jnp.concatenate([
-            jnp.full((3,), SENTINEL_POS, jnp.float32),
-            jnp.zeros((5,), jnp.float32)])
-        table = EX.expand(packed, key_p, s.rank, overflow, eg, hole)
-        table = table.reshape(pc_count * k, 8)
+        # lane-major monotone butterfly expand (neighbors/expand.py) —
+        # dense conditional-shift rounds instead of the slow TPU row
+        # scatter; hole cells (incl. the halo borders) land the sentinel.
+        table_t = EX.expand_T(packed, key_p, s.rank, overflow, eg, hole)
     else:
-        slot = jnp.where(in_bin, key_p * k + s.rank, pc_count * k)
-        table = jnp.concatenate([
-            jnp.full((pc_count * k + 1, 3), SENTINEL_POS, jnp.float32),
-            jnp.zeros((pc_count * k + 1, 5), jnp.float32)], axis=1)
-        table = table.at[slot].set(packed, mode="drop",
-                                   unique_indices=True)
-        table = table[:pc_count * k]
+        table_t = EX.expand_scatter_T(packed, key_p, s.rank, eg, hole)
 
-    # [Cp*K, 8] -> [nyp, NZX, K, 8] -> [8, nyp, K, NZX]
+    # [nyp, 8, NZX*K] -> [nyp, 8, NZX, K] -> [8, nyp, K, NZX]
     planes = jnp.transpose(
-        table.reshape(geom.nyp, geom.nzx, k, 8), (3, 0, 2, 1))
+        table_t.reshape(geom.nyp, 8, geom.nzx, k), (1, 0, 3, 2))
 
     # Slot bound per cell (max occupied slot + 1) from the sentinel
     # pattern, maxed over each chunk window + halo.  Bit 4 carries a
