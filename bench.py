@@ -44,17 +44,31 @@ def main() -> None:
     print(f"[bench] config={config_name} fluid={n_fluid} padded={state.n} "
           f"grid={sim.grid_dims} impl={sim.neighbor_impl}", file=sys.stderr)
 
+    # Config 3 ("rotated OBB + continuous wave impulse"): the reference
+    # kicks once per FRAME (Scene0p.cpp:1303-1307), dt-premultiplied; a
+    # bench batch stands in for one frame.
+    if cfg.wave_impulse:
+        import jax.numpy as jnp
+        from sph_tpu.physics.impulses import wave_impulse
+        frame_prologue = jax.jit(lambda st: wave_impulse(
+            st, amplitude=60.0 * float(params.dt) * n_substeps,
+            wavelength=4.0, phase=0.7,
+            direction=jnp.asarray([1.0, 0.0, 0.3])))
+    else:
+        def frame_prologue(st):
+            return st
+
     # Warmup with the SAME substep count (scan length is a static jit arg,
     # so a different count would recompile inside the timed section).
     t0 = time.time()
-    state, buffers = run_substeps(state, params, buffers, params.dt,
-                                  n_substeps, sim)
+    state, buffers = run_substeps(frame_prologue(state), params, buffers,
+                                  params.dt, n_substeps, sim)
     _ = np.asarray(state.pos[:8])  # force completion (block_until_ready is a no-op over the tunnel)
     print(f"[bench] compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    state, buffers = run_substeps(state, params, buffers, params.dt,
-                                  n_substeps, sim)
+    state, buffers = run_substeps(frame_prologue(state), params, buffers,
+                                  params.dt, n_substeps, sim)
     _ = np.asarray(state.pos[:8])
     elapsed = time.time() - t0
 

@@ -76,12 +76,14 @@ def sort_body(pos, p):
 timed("keys+sort", scanned(sort_body), state.pos, params)
 
 
-def planes_body(pos, p):
+def planes_body(pos, p, method="butterfly"):
     srt = s._replace(pos=pos)
-    pl_ = PL.build_planes(srt, p, geom)
+    pl_ = PL.build_planes(srt, p, geom, method=method)
     return pos + pl_.px[0, 0, 0, :3].sum() * 1e-20
 
-timed("build_planes(scatter)", scanned(planes_body), s.pos, params)
+timed("build_planes(bfly)", scanned(planes_body), s.pos, params)
+timed("build_planes(mxu)",
+      scanned(lambda pos, p: planes_body(pos, p, "mxu")), s.pos, params)
 
 
 def density_body(pv, pl_):
@@ -106,17 +108,20 @@ timed("xsph_kernel", scanned(xsph_body), pvec, planes, rho_out,
       tuple(f_outs[0:3]), tuple(f_outs[3:6]))
 
 
-def gather_body(x, fo, rc, s_):
+def gather_body(x, fo, rc, px_, s_):
     # NOTE: fo/rc/s_ must be ARGS — closing over them embeds ~1 GB of
     # array constants in the compile request (HTTP 413 over the tunnel).
+    from sph_tpu.neighbors import mxu_permute as MX
     stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
-                         rc, fo[0], fo[1], fo[2], rc], axis=0)
-    flat = stacked.reshape(14, -1).T
-    per = flat[PL.out_flat_index(s_, geom)]
+                         rc, fo[0], fo[1], fo[2], rc, px_], axis=0)
+    _, _, starts, _ = MX.gather_window_ids(s_.key, s_.rank, geom,
+                                           128, 512)
+    per = MX.gather_call(stacked, starts, geom,
+                         s_.key.shape[0], 128, 512, interpret=interp)
     return (per[:, 0] * 1e-20).sum() + x * 1.0000001
 
-timed("output_gather", scanned(gather_body), jnp.float32(1.0),
-      tuple(f_outs), rho_out, s)
+timed("output_gather(mxu)", scanned(gather_body), jnp.float32(1.0),
+      tuple(f_outs), rho_out, PL.center_from_chunks(planes.pidx, geom), s)
 
 
 def full_body(pos, p):

@@ -83,14 +83,13 @@ def _slab_align(rows: jax.Array, starts: jax.Array, slots: int) -> jax.Array:
     return jax.vmap(one)(starts)
 
 
-def _slab_align_T(rows_t: jax.Array, starts: jax.Array,
+def _slab_align_T(rows: jax.Array, starts: jax.Array,
                   slots: int) -> jax.Array:
-    """[F, Npad + slots] -> [ny, F, slots] slab-aligned (lane-major)."""
-    f = rows_t.shape[0]
+    """[Npad + slots, F] -> [ny, F, slots] slab-aligned (lane-major).
 
-    def one(s):
-        return lax.dynamic_slice(rows_t, (0, s), (f, slots))
-    return jax.vmap(one)(starts)
+    Slices along the ROW dim (plain DMAs; lane-dim dynamic slices lower
+    to per-lane rotations) and transposes the small minor pair after."""
+    return jnp.swapaxes(_slab_align(rows, starts, slots), 1, 2)
 
 
 def _butterfly_T(x, dist, live, rounds: int, direction: int):
@@ -133,13 +132,14 @@ def expand_butterfly_T(sorted_fields: jax.Array, key: jax.Array,
     slab_starts = start[jnp.arange(eg.ny, dtype=jnp.int32) * eg.cps]
     slab_counts = jnp.concatenate([slab_starts[1:], start[-1:]]) - slab_starts
 
-    rows_t = jnp.concatenate(
-        [sorted_fields.T, jnp.zeros((f, s), sorted_fields.dtype)], axis=1)
-    x = _slab_align_T(rows_t, slab_starts, s)            # [ny, F, S]
+    padded = jnp.concatenate(
+        [sorted_fields, jnp.zeros((s, f), sorted_fields.dtype)], axis=0)
+    x = _slab_align_T(padded, slab_starts, s)            # [ny, F, S]
 
-    kr_t = jnp.stack([key, jnp.minimum(rank, k - 1)], axis=0)
-    kr_t = jnp.concatenate([kr_t, jnp.zeros((2, s), jnp.int32)], axis=1)
-    kr = _slab_align_T(kr_t, slab_starts, s)             # [ny, 2, S]
+    kr_rows = jnp.stack([key, jnp.minimum(rank, k - 1)], axis=1)
+    kr_rows = jnp.concatenate([kr_rows, jnp.zeros((s, 2), jnp.int32)],
+                              axis=0)
+    kr = _slab_align_T(kr_rows, slab_starts, s)          # [ny, 2, S]
     local_cell = jnp.clip(
         kr[:, 0]
         - (jnp.arange(eg.ny, dtype=jnp.int32) * eg.cps)[:, None],

@@ -556,11 +556,14 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     xs = xsph_call(planes, rho_out, (npx, npy, npz), (nvx, nvy, nvz),
                    pvec, geom, interpret)
 
-    # --- one gather back to (sorted) particle order ---
+    # --- one row gather back to (sorted) particle order ---
+    # (measured: the MXU one-hot matmul variant, mxu_permute.gather_call,
+    # loses to the XLA row gather — its [max_p, S] @ [S, 14] matmuls pad
+    # the 14-field dim to 128 MXU lanes and HIGHEST precision triples the
+    # passes: 151 ms vs 46 ms at 1M)
     stacked = jnp.stack([npx, npy, npz, nvx, nvy, nvz, ax, ay, az,
                          rho_out, *xs], axis=0)        # [14, ny, nc, K, CW]
-    flat = stacked.reshape(14, -1).T
-    per = flat[PL.out_flat_index(s, geom)]              # [N, 14]
+    per = stacked.reshape(14, -1).T[PL.out_flat_index(s, geom)]  # [N, 14]
 
     new_pos = per[:, 0:3]
     nvel = per[:, 3:6]

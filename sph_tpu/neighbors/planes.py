@@ -218,13 +218,21 @@ class Planes(NamedTuple):
     vy: jax.Array
     vz: jax.Array
     ghost_on: jax.Array
+    pidx: jax.Array      # sorted particle index per slot (-1 = empty)
     occ_rows: jax.Array  # [nyp, n_chunks] i32: max slot bound per row & chunk
     in_bin: jax.Array    # [N] bool
     overflow: jax.Array  # [] i32
 
 
+def _interpret_default() -> bool:
+    import jax
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
-                 use_butterfly: bool = True) -> Planes:
+                 method: str = "butterfly") -> Planes:
+    """``method``: "mxu" (one-hot matmul kernel, overflow-guarded),
+    "butterfly" (lane-major conditional shifts), "scatter" (XLA rows)."""
     k = geom.cap
     num_cells = geom.num_cells
     pc_count = geom.padded_cells
@@ -238,10 +246,14 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
                         & (m.valid > 0)).astype(jnp.int32))
 
     src_pos = jnp.where(contrib[:, None], s.pos, SENTINEL_POS)
+    # field 7 = sorted particle index: rides through the slot tables so
+    # the MXU gather can build its one-hot from the slot side (empty
+    # slots carry -1)
+    pidx = jnp.arange(n, dtype=jnp.float32)
     packed = jnp.concatenate([
         src_pos, s.vel,
         (contrib & (m.ghost > 0)).astype(jnp.float32)[:, None],
-        jnp.zeros((n, 1), jnp.float32),
+        pidx[:, None],
     ], axis=1)                                            # [N, 8]
 
     pc = padded_cell_index(s.key, geom)
@@ -251,18 +263,43 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
     eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzp * geom.nxp, cap=k)
     hole = jnp.concatenate([
         jnp.full((3,), SENTINEL_POS, jnp.float32),
-        jnp.zeros((5,), jnp.float32)])
-    if use_butterfly:
-        # lane-major monotone butterfly expand (neighbors/expand.py) —
-        # dense conditional-shift rounds instead of the slow TPU row
-        # scatter; hole cells (incl. the halo borders) land the sentinel.
-        table_t = EX.expand_T(packed, key_p, s.rank, overflow, eg, hole)
-    else:
-        table_t = EX.expand_scatter_T(packed, key_p, s.rank, eg, hole)
+        jnp.zeros((4,), jnp.float32),
+        jnp.full((1,), -1.0, jnp.float32)])       # empty pidx = -1
 
-    # [nyp, 8, NZX*K] -> [nyp, 8, NZX, K] -> [8, nyp, K, NZX]
-    planes = jnp.transpose(
-        table_t.reshape(geom.nyp, 8, geom.nzx, k), (1, 0, 3, 2))
+    if method == "mxu":
+        # one-hot MXU permutation kernel (neighbors/mxu_permute.py):
+        # table blocks materialize as onehot @ particle-row matmuls.
+        from sph_tpu.neighbors import mxu_permute as MX
+        cpb, max_p = 128, 512
+        _, in_slot, starts, win_ovf = MX.expand_window_ids(
+            key_p, s.rank, geom, cpb, max_p)
+        nsc, _, _ = MX.expand_windows(geom, cpb)
+        interp = _interpret_default()
+
+        def via_mxu(pk):
+            out = MX.expand_call(pk, in_slot, starts, geom, hole,
+                                 cells_per_block=cpb, max_p=max_p,
+                                 interpret=interp)
+            return out[:, :, :, :geom.nzx]            # [8, nyp, K, NZX]
+
+        def via_scatter(pk):
+            t = EX.expand_scatter_T(pk, key_p, s.rank, eg, hole)
+            return jnp.transpose(
+                t.reshape(geom.nyp, 8, geom.nzx, k), (1, 0, 3, 2))
+
+        # (cell-rank overflow needs no fallback here: rank >= K maps to
+        # the dropped slot, same as the scatter path's spill row)
+        planes = lax.cond(win_ovf, via_scatter, via_mxu, packed)
+    else:
+        if method == "butterfly":
+            # lane-major monotone butterfly expand (neighbors/expand.py)
+            table_t = EX.expand_T(packed, key_p, s.rank, overflow, eg,
+                                  hole)
+        else:
+            table_t = EX.expand_scatter_T(packed, key_p, s.rank, eg, hole)
+        # [nyp, 8, NZX*K] -> [nyp, 8, NZX, K] -> [8, nyp, K, NZX]
+        planes = jnp.transpose(
+            table_t.reshape(geom.nyp, 8, geom.nzx, k), (1, 0, 3, 2))
 
     # Slot bound per cell (max occupied slot + 1) from the sentinel
     # pattern, maxed over each chunk window + halo.  Bit 4 carries a
@@ -289,7 +326,7 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
     return Planes(
         px=cp(0, SENTINEL_POS), py=cp(1, SENTINEL_POS),
         pz=cp(2, SENTINEL_POS),
-        vx=cp(3), vy=cp(4), vz=cp(5), ghost_on=cp(6),
+        vx=cp(3), vy=cp(4), vz=cp(5), ghost_on=cp(6), pidx=cp(7, -1.0),
         occ_rows=occ_chunk, in_bin=in_bin, overflow=overflow)
 
 
