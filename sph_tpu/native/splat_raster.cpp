@@ -20,7 +20,9 @@ void splat_raster(int n,
                   int lit,
                   const float* light3,      // view-space sun dir (lit mode)
                   const float* sun_color3,
-                  int max_footprint) {
+                  int max_footprint,
+                  const float* depth_in,    // [n] view depth or nullptr
+                  float* zbuf) {            // [h,w] prefilled 0 or nullptr
     const float lx = light3[0], ly = light3[1], lz = light3[2];
     const float sr = sun_color3[0], sg = sun_color3[1], sb = sun_color3[2];
     for (int i = 0; i < n; ++i) {
@@ -63,6 +65,7 @@ void splat_raster(int n,
                 px[0] = pr;
                 px[1] = pg;
                 px[2] = pb;
+                if (zbuf && depth_in) zbuf[size_t(y) * width + x] = depth_in[i];
             }
         }
     }

@@ -235,8 +235,11 @@ class Scene:
         cam = self._camera_now()
         radius = 0.5 * s.h * self.live.radius_scale
 
+        view_z = None
         if s.render_mode == 0:
             from sph_tpu.viz.ssfr import render_water
+            # water writes no scene depth -> DOF skipped, like the
+            # reference (Scene0p.cpp:2601-2603)
             img = render_water(self.state, to_water_params(s), cam,
                                width=width, height=height,
                                particle_radius=radius, vp=vp)
@@ -247,15 +250,18 @@ class Scene:
             # mesh mode forces the lit-sphere shading term on.
             if s.render_mode == 2:
                 vp = dataclasses.replace(vp, lit_sphere=True)
-            img = render_frame(self.state, vp, cam,
+            want_depth = apply_post and s.lens_aperture > 0.0
+            out = render_frame(self.state, vp, cam,
                                width=width, height=height,
                                particle_radius=radius,
-                               background=tuple(s.bg_color))
+                               background=tuple(s.bg_color),
+                               return_depth=want_depth)
+            img, view_z = out if want_depth else (out, None)
 
         if s.show_outline:
             img = self._overlay_lines(img, cam, width, height)
         if apply_post:
-            img = self._apply_post(img)
+            img = self._apply_post(img, view_z)
         return img
 
     def _overlay_lines(self, img: np.ndarray, cam, width: int,
@@ -274,7 +280,7 @@ class Scene:
         return WF.draw_polylines(img, lines, view, proj,
                                  color=tuple(s.outline_color))
 
-    def _apply_post(self, img: np.ndarray) -> np.ndarray:
+    def _apply_post(self, img: np.ndarray, view_z=None) -> np.ndarray:
         from sph_tpu.viz import postfx as PF
         pp = PF.post_params_from_settings(self.settings)
         if not getattr(self, "post_state", None):
@@ -287,7 +293,8 @@ class Scene:
             return img
         out, self.post_state = PF.run_post_chain(
             jnp.asarray(img, jnp.float32) / 255.0, pp, self.post_state,
-            self.last_frame_dt)
+            self.last_frame_dt,
+            view_z=(jnp.asarray(view_z) if view_z is not None else None))
         return (np.clip(np.asarray(out), 0.0, 1.0) * 255.0
                 ).astype(np.uint8)
 

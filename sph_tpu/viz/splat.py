@@ -53,8 +53,14 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
                  particle_radius: float = 0.12,
                  background: Tuple[float, float, float] = (0.03, 0.04, 0.06),
                  max_footprint: int = 4,
-                 mask: Optional[np.ndarray] = None) -> np.ndarray:
-    """Render a ParticleState to an [H, W, 3] uint8 frame."""
+                 mask: Optional[np.ndarray] = None,
+                 return_depth: bool = False):
+    """Render a ParticleState to an [H, W, 3] uint8 frame.
+
+    ``return_depth=True`` additionally returns the [H, W] view-depth
+    buffer (0 = background) for the DOF post pass — the reference's
+    scene depth, available in impostor/mesh modes only
+    (``Scene0p.cpp:2601-2603``)."""
     view = cam.view_matrix()
     proj = cam.proj_matrix(width / height)
 
@@ -82,7 +88,10 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
     if len(idx) == 0:
         img = np.broadcast_to(np.asarray(background, np.float32),
                               (height, width, 3)).copy()
-        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        out = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if return_depth:
+            return out, np.zeros((height, width), np.float32)
+        return out
 
     # painter's sort: far first, near last (ascending -z_view descending)
     depth = -vpos[idx, 2]
@@ -100,6 +109,8 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
 
     img = np.broadcast_to(np.asarray(background, np.float32),
                           (height, width, 3)).copy().reshape(-1, 3)
+    zbuf = np.zeros((height * width,), np.float32)
+    pdepth = depth[order]
 
     r = int(max_footprint)
     sun_world = np.asarray(vp.sun_dir, np.float32)
@@ -123,9 +134,15 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
             buf.ctypes.data_as(ctypes.POINTER(fp)),
             ctypes.c_int(1 if vp.lit_sphere else 0),
             ptr(light), ptr(np.asarray(vp.sun_color, np.float32)),
-            ctypes.c_int(r))
+            ctypes.c_int(r),
+            ptr(pdepth) if return_depth else None,
+            zbuf.ctypes.data_as(ctypes.POINTER(fp))
+            if return_depth else None)
         img = buf.reshape(height, width, 3)
-        return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+        out = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+        if return_depth:
+            return out, zbuf.reshape(height, width)
+        return out
 
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
@@ -152,8 +169,13 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
                             * (np.maximum(diff, 0.0) ** 24.0 * 0.4)[:, None],
                             0.0, 1.0)
             img[y[inb] * width + x[inb]] = c
+            if return_depth:
+                zbuf[y[inb] * width + x[inb]] = pdepth[sel][inb]
     img = img.reshape(height, width, 3)
-    return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    out = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if return_depth:
+        return out, zbuf.reshape(height, width)
+    return out
 
 
 def _native_lib():

@@ -128,3 +128,33 @@ def test_logger_roundtrip(tmp_path):
     text = open(p).read()
     assert "hello" in text and "warn" in text and "boom" in text
     assert "hidden" not in text
+
+
+def test_dof_applies_with_scene_depth_in_impostor_mode():
+    """DOF needs scene depth: active in impostor/mesh modes, skipped in
+    water mode (Scene0p.cpp:2601-2603)."""
+    sc = Scene(settings=_small_settings(render_mode=1,
+                                        show_outline=False), seed=2)
+    sc.update(1 / 60)
+    base = sc.render(160, 120)
+    sc.settings.lens_aperture = 3.0
+    sc.settings.lens_focus_dist = 5.0
+    dof = sc.render(160, 120)
+    assert not np.array_equal(base, dof)
+
+
+def test_render_depth_buffer():
+    from sph_tpu.viz.splat import render_frame
+    from sph_tpu.viz import palettes as P
+    from sph_tpu.core import state as S
+    spawn = S.spawn_standard(256, h=0.28, box_half=(4.0, 4.0, 4.0), seed=1)
+    st = S.state_from_spawn(spawn)
+    cam = fit_camera(np.asarray([4.0, 4.0, 4.0]))
+    img, z = render_frame(st, P.VizParams(), cam, width=160, height=120,
+                          return_depth=True)
+    assert z.shape == (120, 160)
+    covered = z > 0
+    assert covered.sum() > 50                 # particles hit pixels
+    assert np.isfinite(z[covered]).all()
+    # depths are plausible view distances
+    assert z[covered].min() > 1.0 and z[covered].max() < 200.0
