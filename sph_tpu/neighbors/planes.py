@@ -293,9 +293,10 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
             return out[:, :, :, :geom.nzx]            # [8, nyp, K, NZX]
 
         def via_scatter(pk):
-            t = EX.expand_scatter_T(pk, key_p, s.rank, eg, hole)
-            return jnp.transpose(
-                t.reshape(geom.nyp, 8, geom.nzx, k), (1, 0, 3, 2))
+            # direct [ny, cps, k, F] -> [F, ny, k, cps] transpose: no
+            # [ny, 8, S] intermediate (XLA lays those 8-minor = 16x pad)
+            t = EX.expand_scatter(pk, key_p, s.rank, eg, hole)
+            return jnp.transpose(t, (3, 0, 2, 1))
 
         # (cell-rank overflow needs no fallback here: rank >= K maps to
         # the dropped slot, same as the scatter path's spill row)
@@ -329,9 +330,18 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
     occ_chunk = occ_chunk | (dest_any << 4)
 
     def cp(i, sent=0.0):
-        # [nyp, K, NZX] -> [nyp, K, nc, CWH] -> [nyp, nc, K, CWH]
-        ch = chunk_lanes(planes[i], geom, sent)
-        return jnp.transpose(ch, (0, 2, 1, 3))
+        # [nyp, K, NZX] -> [nyp, nc, K, CWH] via direct slices: the old
+        # chunk-then-transpose route let XLA pick a K-minor layout for
+        # the [nyp, K, nc*CWH] intermediate (16x tile padding -> HBM OOM
+        # at 512k-rotated grid sizes, see PERF.md)
+        h, cw = geom.halo, geom.cw
+        tail = geom.nzxp - geom.nzx + h
+        full = jnp.pad(planes[i], ((0, 0), (0, 0), (h, tail)),
+                       constant_values=sent)
+        chunks = [lax.slice_in_dim(full, c * cw, c * cw + geom.cwh,
+                                   axis=-1)
+                  for c in range(geom.n_chunks)]
+        return jnp.stack(chunks, axis=1)
 
     return Planes(
         px=cp(0, SENTINEL_POS), py=cp(1, SENTINEL_POS),
