@@ -23,8 +23,10 @@ import time
 
 def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--particles", type=int, default=50000)
-    p.add_argument("--impl", default="pallas",
-                   choices=["brute", "cell", "binned", "pallas"])
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "brute", "cell", "binned", "pallas"],
+                   help="auto = pallas on TPU, binned elsewhere "
+                        "(interpret-mode pallas on CPU is debug-only)")
     p.add_argument("--shape", type=int, default=0, help="shape type 0-9")
     p.add_argument("--art", type=int, default=-1,
                    help="start from art preset 0-13")
@@ -39,10 +41,15 @@ def _build_scene(args):
     from sph_tpu.scene.scene import Scene
     from sph_tpu.scene.settings import SceneSettings
 
+    impl = args.impl
+    if impl == "auto":
+        import jax
+        impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                else "binned")
     s = SceneSettings()
     s.particle_count = args.particles
     s.shape_type = args.shape
-    scene = Scene(settings=s, neighbor_impl=args.impl, seed=args.seed,
+    scene = Scene(settings=s, neighbor_impl=impl, seed=args.seed,
                   preset_dir=args.preset_dir)
     if args.art >= 0:
         scene.apply_art_preset(args.art)
@@ -57,10 +64,21 @@ def _build_scene(args):
 def cmd_run(args) -> None:
     scene = _build_scene(args)
     frame_dt = 1.0 / args.fps
+    reactor = None
+    if getattr(args, "track", ""):
+        # live reactor streaming the track as if it were system audio
+        # (the WASAPI-loopback analogue, AudioReactive.cpp:62-164)
+        from sph_tpu.audio.reactive import AudioReactive, FileSource
+        scene.settings.audio_enabled = True
+        reactor = AudioReactive(FileSource(args.track))
+        reactor.start()
     t0 = time.time()
     for f in range(args.frames):
         bands = (0.0, 0.0, 0.0)
-        if args.audio:
+        if reactor is not None:
+            bands = (reactor.get_bass(), reactor.get_mid(),
+                     reactor.get_treble())
+        elif args.audio:
             import math
             bands = (0.5 + 0.5 * math.sin(f * 0.3), 0.2, 0.1)
         n_sub = scene.update(frame_dt, bands=bands)
@@ -74,6 +92,8 @@ def cmd_run(args) -> None:
             print(f"frame {f}/{args.frames} substeps={n_sub} "
                   f"t={scene.sim_time:.2f}s wall={time.time() - t0:.1f}s",
                   file=sys.stderr)
+    if reactor is not None:
+        reactor.stop()
     print(f"done: {args.frames} frames in {time.time() - t0:.1f}s")
 
 
@@ -141,6 +161,8 @@ def main(argv=None) -> None:
     p.add_argument("--fps", type=int, default=60)
     p.add_argument("--audio", action="store_true",
                    help="drive with a synthetic beat")
+    p.add_argument("--track", default="",
+                   help="stream this WAV through the live reactor")
     p.add_argument("--out", default="")
     p.add_argument("--every", type=int, default=0,
                    help="render every Nth frame")

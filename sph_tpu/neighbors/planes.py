@@ -293,10 +293,24 @@ def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
             return out[:, :, :, :geom.nzx]            # [8, nyp, K, NZX]
 
         def via_scatter(pk):
-            # direct [ny, cps, k, F] -> [F, ny, k, cps] transpose: no
-            # [ny, 8, S] intermediate (XLA lays those 8-minor = 16x pad)
-            t = EX.expand_scatter(pk, key_p, s.rank, eg, hole)
-            return jnp.transpose(t, (3, 0, 2, 1))
+            # rare overflow fallback: per-field 1D scatters into k-MAJOR
+            # flat tables, so both cond branches carry the same sane
+            # (cells-minor) physical layout — mixing a k-minor branch in
+            # makes XLA tile the whole cond output at 16x padding
+            # (27 GB HBM at the 512k-rotated grid; see PERF.md)
+            cps = geom.nzp * geom.nxp
+            total = k * pc_count
+            in2 = (s.rank < k) & (key_p < pc_count)
+            slot2 = jnp.where(in2, s.rank * pc_count + key_p, total)
+            fields = []
+            for i in range(8):
+                t = jnp.full((total + 1,), hole[i], jnp.float32)
+                t = t.at[slot2].set(pk[:, i], mode="drop",
+                                    unique_indices=True)
+                fields.append(t[:total])
+            t8 = jnp.stack(fields)                     # [8, K*PC]
+            return jnp.transpose(
+                t8.reshape(8, k, geom.nyp, cps), (0, 2, 1, 3))
 
         # (cell-rank overflow needs no fallback here: rank >= K maps to
         # the dropped slot, same as the scatter path's spill row)
