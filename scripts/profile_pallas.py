@@ -25,8 +25,11 @@ from sph_tpu.neighbors import pallas_sweeps as K
 cfg_name = sys.argv[1] if len(sys.argv) > 1 else "default_131k"
 reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
+import dataclasses
 cfg = AC.CONFIGS[cfg_name]
 state, params, sim = AC.build(cfg, neighbor_impl="pallas")
+if len(sys.argv) > 3:
+    sim = dataclasses.replace(sim, plane_max_cwh=int(sys.argv[3]))
 geom = PL.geom_for(sim)
 print(f"config={cfg_name} n={state.n} dims={sim.grid_dims} "
       f"geom: nc={geom.n_chunks} cw={geom.cw} cwh={geom.cwh}",
@@ -108,20 +111,16 @@ timed("xsph_kernel", scanned(xsph_body), pvec, planes, rho_out,
       tuple(f_outs[0:3]), tuple(f_outs[3:6]))
 
 
-def gather_body(x, fo, rc, px_, s_):
+def gather_body(x, fo, rc, s_):
     # NOTE: fo/rc/s_ must be ARGS — closing over them embeds ~1 GB of
     # array constants in the compile request (HTTP 413 over the tunnel).
-    from sph_tpu.neighbors import mxu_permute as MX
     stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
-                         rc, fo[0], fo[1], fo[2], rc, px_], axis=0)
-    _, _, starts, _ = MX.gather_window_ids(s_.key, s_.rank, geom,
-                                           128, 512)
-    per = MX.gather_call(stacked, starts, geom,
-                         s_.key.shape[0], 128, 512, interpret=interp)
+                         rc, fo[0], fo[1], fo[2], rc], axis=0)
+    per = stacked.reshape(14, -1).T[PL.out_flat_index(s_, geom)]
     return (per[:, 0] * 1e-20).sum() + x * 1.0000001
 
-timed("output_gather(mxu)", scanned(gather_body), jnp.float32(1.0),
-      tuple(f_outs), rho_out, PL.center_from_chunks(planes.pidx, geom), s)
+timed("output_gather(rows)", scanned(gather_body), jnp.float32(1.0),
+      tuple(f_outs), rho_out, s)
 
 
 def full_body(pos, p):

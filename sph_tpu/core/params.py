@@ -309,6 +309,9 @@ class SimConfig:
     brute_tile: int = 1024                 # row tile for the O(N^2) oracle
     sweep_unroll: bool = False             # statically unroll the 27 offsets
                                            # (faster on TPU, slower compiles)
+    plane_max_cwh: int = 1536              # pallas plane chunk width cap:
+                                           # smaller = finer occupancy
+                                           # gating, more halo overhead
 
     @property
     def num_cells(self) -> int:

@@ -94,7 +94,9 @@ class PlaneGeom(NamedTuple):
         return self.nyp * self.nzp * self.nxp
 
 
-def geom_for(config: SimConfig, max_cwh: int = 1536) -> PlaneGeom:
+def geom_for(config: SimConfig, max_cwh: int = 0) -> PlaneGeom:
+    if max_cwh <= 0:
+        max_cwh = getattr(config, "plane_max_cwh", 1536)
     nx, ny, nz = config.grid_dims
     nzx = (nz + 2) * (nx + 2)
     halo = nx + 3
