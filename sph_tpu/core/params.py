@@ -268,9 +268,13 @@ def compute_grid_dims(shape_type: int, box_half, box_euler_deg, h: float,
     live container edits rarely change the static dims (extra cells simply
     stay empty; jit shape stability beats exact sizing on TPU).
     """
-    r = np.abs(rotation_matrix_np(box_euler_deg))
+    # Binning happens in CONTAINER-LOCAL frame (grid_cell_coords), so the
+    # grid needs only the unrotated effective half + 1 cell margin — the
+    # reference bins in world space over the rotated AABB
+    # (SPHFluid3D.cpp:282-304), which inflates a rotated box's grid ~3x.
+    del box_euler_deg
     half = effective_half_np(shape_type, np.asarray(box_half, np.float32))
-    ext = r @ half + h
+    ext = half + h
     dims = []
     for e in ext:
         d = int(np.ceil((2.0 * e) / h))
@@ -281,12 +285,26 @@ def compute_grid_dims(shape_type: int, box_half, box_euler_deg, h: float,
 
 
 def grid_min(params: FluidParams) -> jax.Array:
-    """Traced world-space grid origin (recomputed every substep, like the
-    reference's per-substep ComputeGridExtents — but dims stay static)."""
-    r = jnp.abs(rotation_matrix(params.box_euler_deg))
+    """Traced CONTAINER-LOCAL grid origin (positions are rotated into the
+    container frame before binning; see ``grid_cell_coords``)."""
     half = effective_half(params)
-    ext = r @ half + params.h
-    return params.box_center - ext
+    return -(half + params.h)
+
+
+def grid_cell_coords(pos: jax.Array, params: FluidParams,
+                     dims) -> jax.Array:
+    """[N,3] world positions -> [N,3] int32 cell coords, clipped.
+
+    Bins in the container-LOCAL frame: ``local = R^T (p - c)``.  For an
+    unrotated container this reduces exactly to the world-space binning
+    (local - gmin == pos - world_gmin), and for rotated containers the
+    grid stays tight instead of covering the rotated AABB.  Any spatial
+    partition gives identical physics — only pair distances matter."""
+    rot = rotation_matrix(params.box_euler_deg)
+    local = (pos - params.box_center[None, :]) @ rot     # rows: R^T d
+    gmin = grid_min(params)
+    c = jnp.floor((local - gmin[None, :]) / params.h).astype(jnp.int32)
+    return jnp.clip(c, 0, jnp.asarray(dims, jnp.int32)[None, :] - 1)
 
 
 @dataclasses.dataclass(frozen=True)

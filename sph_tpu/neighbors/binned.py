@@ -58,10 +58,9 @@ class SortedState(NamedTuple):
 
 def compute_keys(state: ParticleState, params: FluidParams,
                  dims: Tuple[int, int, int]) -> jax.Array:
+    from sph_tpu.core.params import grid_cell_coords
     nx, ny, nz = dims
-    gmin = grid_min_fn(params)
-    c = jnp.floor((state.pos - gmin[None, :]) / params.h).astype(jnp.int32)
-    c = jnp.clip(c, 0, jnp.asarray(dims, jnp.int32)[None, :] - 1)
+    c = grid_cell_coords(state.pos, params, dims)
     key = c[:, 0] + nx * (c[:, 1] + ny * c[:, 2])
     return jnp.where(state.valid > 0, key, nx * ny * nz)
 

@@ -55,11 +55,15 @@ def flatten_coords(coords: jax.Array, dims: Tuple[int, int, int]) -> jax.Array:
 
 def build_cell_list(pos: jax.Array, valid: jax.Array, grid_min: jax.Array,
                     cell_size: jax.Array, dims: Tuple[int, int, int],
-                    capacity: int) -> CellList:
-    """Build the dense bin table for one substep."""
+                    capacity: int, coords: jax.Array = None) -> CellList:
+    """Build the dense bin table for one substep.
+
+    ``coords`` overrides the world-frame binning (callers pass
+    container-local coords from ``core.params.grid_cell_coords``)."""
     n = pos.shape[0]
     num_cells = int(np.prod(dims))
-    coords = cell_coords(pos, grid_min, cell_size, dims)
+    if coords is None:
+        coords = cell_coords(pos, grid_min, cell_size, dims)
     key = flatten_coords(coords, dims)
     key = jnp.where(valid > 0, key, num_cells)        # padding sorts last
 

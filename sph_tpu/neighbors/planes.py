@@ -110,10 +110,8 @@ def geom_for(config: SimConfig, max_cwh: int = 0) -> PlaneGeom:
 def compute_keys_ymajor(pos: jax.Array, valid: jax.Array,
                         params: FluidParams, geom: PlaneGeom) -> jax.Array:
     """y-major cell key ``x + nx*(z + nz*y)``; invalid -> spill key C."""
-    gmin = grid_min_fn(params)
-    c = jnp.floor((pos - gmin[None, :]) / params.h).astype(jnp.int32)
-    dims = jnp.asarray([geom.nx, geom.ny, geom.nz], jnp.int32)
-    c = jnp.clip(c, 0, dims[None, :] - 1)
+    from sph_tpu.core.params import grid_cell_coords
+    c = grid_cell_coords(pos, params, (geom.nx, geom.ny, geom.nz))
     key = c[:, 0] + geom.nx * (c[:, 2] + geom.nz * c[:, 1])
     return jnp.where(valid > 0, key, geom.num_cells)
 

@@ -92,11 +92,9 @@ def make_slab_config(sim: SimConfig, n_dev: int, n_total: int,
 def _local_keys(pos, valid, params: FluidParams, scfg: SlabConfig,
                 z0: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(local cell key, global z cell) per particle; invalid -> spill."""
+    from sph_tpu.core.params import grid_cell_coords
     nx, ny, nz_l = scfg.local_dims
-    gmin = grid_min_fn(params)
-    c = jnp.floor((pos - gmin[None, :]) / params.h).astype(jnp.int32)
-    dims = jnp.asarray(scfg.dims, jnp.int32)
-    c = jnp.clip(c, 0, dims[None, :] - 1)
+    c = grid_cell_coords(pos, params, scfg.dims)
     gz = c[:, 2]
     lz = jnp.clip(gz - z0, 0, nz_l - 1)
     key = c[:, 0] + nx * (c[:, 1] + ny * lz)
@@ -265,9 +263,10 @@ def shard_by_slab(state: ParticleState, params: FluidParams,
     """Host-side: distribute a global state into per-slab shards
     [n_dev * n_shard] (slab-major), device_put along the mesh."""
     import numpy as np
-    gmin = np.asarray(grid_min_fn(params))
-    pos = np.asarray(state.pos)
-    c = np.floor((pos - gmin[None, :]) / float(params.h)).astype(np.int32)
+    import jax.numpy as _jnp
+    from sph_tpu.core.params import grid_cell_coords
+    c = np.asarray(grid_cell_coords(
+        _jnp.asarray(state.pos), params, scfg.dims))
     gz = np.clip(c[:, 2], 0, scfg.dims[2] - 1)
     slab = np.clip(gz // scfg.nz_local, 0, scfg.n_dev - 1)
     valid = np.asarray(state.valid) > 0

@@ -112,8 +112,10 @@ def substep(state: ParticleState, params: FluidParams,
     """One WCSPH substep with cell-list neighbor enumeration."""
     dims = config.grid_dims
     cap = config.cell_capacity
-    gmin = grid_min_fn(params)
-    cl = G.build_cell_list(state.pos, state.valid, gmin, params.h, dims, cap)
+    from sph_tpu.core.params import grid_cell_coords
+    coords = grid_cell_coords(state.pos, params, dims)
+    cl = G.build_cell_list(state.pos, state.valid, grid_min_fn(params),
+                           params.h, dims, cap, coords=coords)
 
     contrib = state.contrib_mask(params.ghost_face_active)
     contrib_f = contrib.astype(jnp.float32)

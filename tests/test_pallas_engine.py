@@ -64,3 +64,26 @@ def test_pallas_matches_brute_with_ghost_shell():
     assert np.allclose(rho_p[ghost], 1000.0)
     v_p = np.asarray(sp.vel)[ib]
     assert np.abs(v_p[ghost]).max() == 0.0
+
+
+def test_pallas_matches_brute_rotated_container():
+    """Rotated OBB (config-3 analogue): binning runs in container-local
+    frame (tight grid), physics must still match the grid-free oracle."""
+    half = (4.0, 3.0, 3.5)
+    spawn = S.spawn_standard(400, h=0.28, box_half=half, seed=4)
+    state = S.state_from_spawn(spawn)
+    params = FluidParams.default(
+        box_half=np.asarray(half, np.float32),
+        box_euler_deg=np.asarray([20.0, 0.0, 30.0], np.float32),
+    ).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (20.0, 0.0, 30.0), 0.28)
+
+    sb = _run(state, params, dims, "brute")
+    sp = _run(state, params, dims, "pallas")
+    sn = _run(state, params, dims, "binned")
+    ia, ib = _align(sb, sp)
+    dpos = np.abs(np.asarray(sb.pos)[ia] - np.asarray(sp.pos)[ib])
+    assert dpos.max() < 1e-4
+    ia2, ic = _align(sb, sn)
+    dpos2 = np.abs(np.asarray(sb.pos)[ia2] - np.asarray(sn.pos)[ic])
+    assert dpos2.max() < 1e-4
