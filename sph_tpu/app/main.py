@@ -88,6 +88,11 @@ def cmd_run(args) -> None:
             os.makedirs(args.out, exist_ok=True)
             save_png(scene.render(args.width, args.height),
                      f"{args.out}/frame_{f:05d}.png")
+        if args.realtime:
+            # FPS cap: sleep off the frame budget (SceneManager.cpp:86-92)
+            budget = (f + 1) * frame_dt - (time.time() - t0)
+            if budget > 0:
+                time.sleep(budget)
         if f % 30 == 0:
             print(f"frame {f}/{args.frames} substeps={n_sub} "
                   f"t={scene.sim_time:.2f}s wall={time.time() - t0:.1f}s",
@@ -163,6 +168,8 @@ def main(argv=None) -> None:
                    help="drive with a synthetic beat")
     p.add_argument("--track", default="",
                    help="stream this WAV through the live reactor")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace frames to --fps wall-clock (the FPS cap)")
     p.add_argument("--out", default="")
     p.add_argument("--every", type=int, default=0,
                    help="render every Nth frame")

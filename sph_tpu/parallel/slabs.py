@@ -28,6 +28,11 @@ Within a slab the bin layout (sorted order, per-cell ranks) is identical
 to the single-device run, so pair-sum order — and therefore the f32
 trajectory — matches the single-device binned engine bit-for-bit until
 a migration reorders a cell's residents.
+
+Scope: container-constraint scenes (the bench configs). River/fountain
+emitters recycle particles ACROSS slabs (a respawn teleports a particle
+to the emitter's slab), which the migration step does not route yet —
+use ``parallel/domain.py``'s gather-parallel engine for those modes.
 """
 from __future__ import annotations
 
