@@ -90,14 +90,29 @@ def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
     vals = tile[:, :f]
     slots = tile[:, f].astype(jnp.int32)
     p_ok = lax.broadcasted_iota(jnp.int32, (max_p, 1), 0) < cnt
+    # (select in f32, then cast: a bf16-valued select on this mask shape
+    # trips a Mosaic i1 relayout bug)
     oh = jnp.where(
         p_ok & (slots[:, None]
                 == lax.broadcasted_iota(jnp.int32, (max_p, s_blk), 1)),
-        1.0, 0.0)                                    # [max_p, s_blk]
-    # blk[f, s] = sum_p vals[p, f] * oh[p, s]  (contraction over p)
-    blk = lax.dot_general(vals, oh, (((0,), (0,)), ((), ())),
-                          precision=_HIGH)           # [f, s_blk]
-    filled = jnp.sum(oh, axis=0)[None, :]            # [1, s_blk]
+        1.0, 0.0).astype(jnp.bfloat16)               # [max_p, s_blk]
+    # blk[f, s] = sum_p vals[p, f] * oh[p, s]  (contraction over p).
+    # Exact permutation in 3 bf16 passes instead of precision=HIGHEST's
+    # 6: the one-hot is exactly 0/1 in bf16 and the 3-term bf16
+    # expansion of an f32 is exact, so sum_i (1.0 * v_i) == v bit-exact.
+    v1 = vals.astype(jnp.bfloat16)
+    r1 = vals - v1.astype(jnp.float32)
+    v2 = r1.astype(jnp.bfloat16)
+    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((0,), (0,)), ((), ()))
+
+    def bf16dot(v):
+        return lax.dot_general(v, oh, dn,
+                               preferred_element_type=jnp.float32)
+
+    blk = bf16dot(v1) + bf16dot(v2) + bf16dot(v3)    # [f, s_blk]
+    # each slot holds at most one particle -> max == sum, exact in bf16
+    filled = jnp.max(oh, axis=0)[None, :].astype(jnp.float32)
     blk = blk + hole_ref[...] * (1.0 - filled)
     out_ref[...] = blk.reshape(f, 1, cap, cpb)
 
