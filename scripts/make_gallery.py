@@ -38,8 +38,10 @@ def settle(scene, frames=30):
         scene.update(1.0 / 60.0)
 
 
-def shot(name, scene):
+def shot(name, scene, zoom=1.0):
+    scene.camera.distance *= zoom
     img = scene.render(W, H)
+    scene.camera.distance /= zoom
     save_png(img, os.path.join(OUT, f"{name}.png"))
     print(f"wrote {name}.png")
 
@@ -52,14 +54,15 @@ def main():
                              lit_particles=True), neighbor_impl="binned",
                seed=7)
     settle(sc)
-    shot("impostors_speed", sc)
+    shot("impostors_speed", sc, zoom=0.55)
 
     # 2. SSFR water surface with sky
-    sc = Scene(base_settings(render_mode=0, sky_on=True,
-                             show_outline=False),
-               neighbor_impl="binned", seed=3)
+    st = base_settings(render_mode=0, sky_on=True, show_outline=False,
+                       thickness_strength=0.35, foam_amount=2.0)
+    st.render_radius_scale = 2.2
+    sc = Scene(st, neighbor_impl="binned", seed=3)
     settle(sc)
-    shot("water_ssfr", sc)
+    shot("water_ssfr", sc, zoom=0.45)
 
     # 3. torus container wireframe, two-color groups
     sc = Scene(base_settings(render_mode=1, shape_type=3,
@@ -67,7 +70,7 @@ def main():
                              palette_id=6, palette_id2=12, mix_pattern=0),
                neighbor_impl="binned", seed=5)
     settle(sc)
-    shot("torus_two_color", sc)
+    shot("torus_two_color", sc, zoom=0.6)
 
     # 4. river canyon with bank lines
     sc = Scene(base_settings(render_mode=1, particle_count=2000,
@@ -75,15 +78,16 @@ def main():
                neighbor_impl="binned", seed=11)
     sc.enable_river(11)
     settle(sc, 40)
-    shot("river_canyon", sc)
+    shot("river_canyon", sc, zoom=0.6)
 
-    # 5. post chain: bloom + kaleidoscope + vignette
+    # 5. post chain: bloom + vignette over a stirred splash
     st = base_settings(render_mode=1, palette_id=19, viz_mode=1,
-                       bloom_strength=0.9, kaleido_segments=6,
-                       vignette=0.35, show_outline=False)
+                       bloom_strength=1.2, bloom_threshold=0.25,
+                       vignette=0.3, show_outline=True,
+                       lit_particles=True, continuous_wave=True)
     sc = Scene(st, neighbor_impl="binned", seed=9)
-    settle(sc)
-    shot("postfx_kaleido", sc)
+    settle(sc, 45)
+    shot("postfx_bloom", sc, zoom=0.55)
 
 
 if __name__ == "__main__":
