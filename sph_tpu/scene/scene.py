@@ -251,10 +251,23 @@ class Scene:
             if s.render_mode == 2:
                 vp = dataclasses.replace(vp, lit_sphere=True)
             want_depth = apply_post and s.lens_aperture > 0.0
+            background = tuple(s.bg_color)
+            if self.river_spec is not None:
+                # terrain heightfield pass under the fluid (R12,
+                # terrainVert/Frag.glsl)
+                from sph_tpu.viz.terrain import draw_terrain
+                bg_img = (np.broadcast_to(
+                    np.asarray(s.bg_color, np.float32),
+                    (height, width, 3)) * 255.0).astype(np.uint8)
+                background = draw_terrain(
+                    bg_img, np.asarray(self.buffers.terrain),
+                    s.box_center, s.box_half,
+                    cam.view_matrix(), cam.proj_matrix(width / height),
+                    sun_dir=tuple(s.sun_dir), sun_color=tuple(s.sun_color))
             out = render_frame(self.state, vp, cam,
                                width=width, height=height,
                                particle_radius=radius,
-                               background=tuple(s.bg_color),
+                               background=background,
                                return_depth=want_depth)
             img, view_z = out if want_depth else (out, None)
 

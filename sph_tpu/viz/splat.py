@@ -84,11 +84,17 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
     colors = np.asarray(_colors_device(
         pos, vpos.astype(np.float32), vel, pressure, density, group, vp))
 
+    # background: color tuple, or a pre-rendered [H,W,3] uint8 frame
+    # (e.g. the terrain heightfield pass, viz/terrain.py)
+    if isinstance(background, np.ndarray):
+        base = background.astype(np.float32) / 255.0
+    else:
+        base = np.broadcast_to(np.asarray(background, np.float32),
+                               (height, width, 3))
+
     idx = np.nonzero(draw)[0]
     if len(idx) == 0:
-        img = np.broadcast_to(np.asarray(background, np.float32),
-                              (height, width, 3)).copy()
-        out = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        out = (np.clip(base, 0, 1) * 255).astype(np.uint8)
         if return_depth:
             return out, np.zeros((height, width), np.float32)
         return out
@@ -107,8 +113,7 @@ def render_frame(state, vp: P.VizParams, cam: OrbitCamera,
     cy = py[idx]
     col = colors[idx]
 
-    img = np.broadcast_to(np.asarray(background, np.float32),
-                          (height, width, 3)).copy().reshape(-1, 3)
+    img = base.copy().reshape(-1, 3)
     zbuf = np.zeros((height * width,), np.float32)
     pdepth = depth[order]
 

@@ -158,3 +158,34 @@ def test_render_depth_buffer():
     assert np.isfinite(z[covered]).all()
     # depths are plausible view distances
     assert z[covered].min() > 1.0 and z[covered].max() < 200.0
+
+
+def test_terrain_renderer():
+    """R12 parity: heightfield colors, normals, and the splat pass."""
+    from sph_tpu.viz import terrain as T
+    from sph_tpu.viz.camera import fit_camera
+    th = np.zeros((16, 16), np.float32)
+    th[:, 8:] = 2.0                                 # a step in x
+    pos, nrm = T.terrain_points(th, (0, 0, 0), (5, 5, 5), upsample=2)
+    assert np.isfinite(pos).all() and np.isfinite(nrm).all()
+    assert np.allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+    # flat regions have straight-up normals; the step has tilted ones
+    flat = np.abs(pos[:, 0]) > 3.0
+    assert np.abs(nrm[flat][:, 1] - 1.0).max() < 1e-4
+    cam = fit_camera([5.0, 5.0, 5.0])
+    img = np.zeros((90, 160, 3), np.uint8)
+    out = T.draw_terrain(img, th, (0, 0, 0), (5, 5, 5),
+                         cam.view_matrix(), cam.proj_matrix(160 / 90))
+    assert (out.sum(-1) > 0).mean() > 0.05          # terrain visible
+
+
+def test_river_scene_renders_terrain():
+    sc = Scene(settings=_small_settings(render_mode=1, particle_count=256,
+                                        show_outline=False), seed=6)
+    sc.settings.bg_color = [0.0, 0.0, 0.0]
+    no_river = sc.render(160, 90)
+    sc.enable_river(6)
+    sc.update(1 / 60)
+    with_river = sc.render(160, 90)
+    # the terrain pass fills far more pixels than bare particles
+    assert (with_river.sum(-1) > 0).mean() > (no_river.sum(-1) > 0).mean()
