@@ -11,6 +11,8 @@ the fluid occludes the ground it flows over.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 # height-blend palette (terrainFrag.glsl:14-17)
@@ -78,9 +80,16 @@ def terrain_points(terrain: np.ndarray, box_center, box_half,
 def draw_terrain(img: np.ndarray, terrain: np.ndarray, box_center,
                  box_half, view: np.ndarray, proj: np.ndarray,
                  sun_dir=(0.4, 1.0, 0.5), sun_color=(1.0, 0.97, 0.9),
-                 upsample: int = 3, footprint: int = 2) -> np.ndarray:
+                 upsample: int = 3, footprint: int | None = None
+                 ) -> np.ndarray:
     """Splat the shaded heightfield into an [H,W,3] uint8 frame
-    (painter order, far first)."""
+    (painter order, far first).
+
+    ``footprint=None`` (default) sizes the splat square from the
+    projected grid spacing so the surface tiles hole-free at any
+    camera distance — the point-splat analogue of the reference's
+    continuous triangle mesh (``Scene0p.cpp:2942-3123``).
+    """
     hpx, wpx = img.shape[:2]
     pos, normals = terrain_points(terrain, box_center, box_half, upsample)
     col = terrain_colors(pos[:, 1], normals, sun_dir, sun_color)
@@ -100,13 +109,26 @@ def draw_terrain(img: np.ndarray, terrain: np.ndarray, box_center,
     order = np.argsort(-depth[idx], kind="stable")
     idx = idx[order]
 
+    if footprint is None:
+        # Actual projected spacing between adjacent grid points (99th
+        # percentile tolerates cliff edges); cover it plus 1px overlap.
+        rh, rw = terrain.shape[0] * upsample, terrain.shape[1] * upsample
+        gx = px.reshape(rh, rw)
+        gy = py.reshape(rh, rw)
+        du = np.hypot(np.diff(gx, axis=1), np.diff(gy, axis=1))
+        dv = np.hypot(np.diff(gx, axis=0), np.diff(gy, axis=0))
+        spacing = float(np.percentile(np.concatenate(
+            [du.ravel(), dv.ravel()]), 99.0))
+        footprint = max(1, int(math.ceil(spacing)) + 1)
+
     out = img.astype(np.float32).reshape(-1, 3)
     x0 = px[idx].astype(np.int32)
     y0 = py[idx].astype(np.int32)
     c255 = col[idx] * 255.0
     r = int(footprint)
-    for dy in range(0, r + 1):
-        for dx in range(0, r + 1):
+    lo = -(r // 2)
+    for dy in range(lo, lo + r + 1):
+        for dx in range(lo, lo + r + 1):
             x = np.clip(x0 + dx, 0, wpx - 1)
             y = np.clip(y0 + dy, 0, hpx - 1)
             out[y * wpx + x] = c255

@@ -176,7 +176,17 @@ def test_terrain_renderer():
     img = np.zeros((90, 160, 3), np.uint8)
     out = T.draw_terrain(img, th, (0, 0, 0), (5, 5, 5),
                          cam.view_matrix(), cam.proj_matrix(160 / 90))
-    assert (out.sum(-1) > 0).mean() > 0.05          # terrain visible
+    lit = out.sum(-1) > 0
+    assert lit.sum() > 100                          # terrain visible
+    # hole-free: within each row's lit span, coverage is dense (the
+    # projected outline is a parallelogram, so bbox fill would under-count)
+    span = lit_in_span = 0
+    for row in lit:
+        xs = np.nonzero(row)[0]
+        if len(xs):
+            span += xs.max() - xs.min() + 1
+            lit_in_span += len(xs)
+    assert lit_in_span / span > 0.93
 
 
 def test_river_scene_renders_terrain():
