@@ -123,6 +123,41 @@ timed("output_gather(rows)", scanned(gather_body), jnp.float32(1.0),
       tuple(f_outs), rho_out, s)
 
 
+def gather_axis1_body(x, fo, rc, s_):
+    stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
+                         rc, fo[0], fo[1], fo[2], rc], axis=0)
+    flat = stacked.reshape(14, -1)
+    per = flat[:, PL.out_flat_index(s_, geom)]       # [14, N]
+    return (per[0] * 1e-20).sum() + x * 1.0000001
+
+timed("output_gather(axis1)", scanned(gather_axis1_body), jnp.float32(1.0),
+      tuple(f_outs), rho_out, s)
+
+
+# (measured failures, do not re-try: a lane-major [..,CW,K] transpose of
+# the stacked table OOMs at compile — XLA materializes the K-minor copy
+# f32[14,ny,nc,CW,K]{T(8,128)} at 16x tile padding = 18.6 GB (PERF.md
+# finding 8); the transposed MXU one-hot gather below runs 67.8 ms at 1M
+# vs the 46.5 ms row gather — one-hot matmul work per window is ~170x
+# the useful data in either orientation.)
+
+
+def gather_mxu_body(x, fo, rc, pidx_c, starts):
+    from sph_tpu.neighbors import mxu_permute as MX
+    stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
+                         rc, fo[0], fo[1], fo[2], rc, pidx_c], axis=0)
+    per = MX.gather_call(stacked, starts, geom, s.key.shape[0],
+                         lanes_per_block=128, max_p=512, interpret=interp)
+    return (per[:, 0] * 1e-20).sum() + x * 1.0000001
+
+from sph_tpu.neighbors import mxu_permute as _MX
+_, _, _starts, _ovf = _MX.gather_window_ids(s.key, s.rank, geom, 128, 512)
+print(f"gather windows overflow: {bool(_ovf)}", file=sys.stderr)
+timed("output_gather(mxu)", scanned(gather_mxu_body), jnp.float32(1.0),
+      tuple(f_outs), rho_out, PL.center_from_chunks(planes.pidx, geom),
+      _starts)
+
+
 def full_body(pos, p):
     st = state.replace(pos=pos)
     out = K.substep(st, p, p.dt, sim)

@@ -214,23 +214,41 @@ def _gather_kernel(s_blk: int, max_p: int, f: int, cap: int, lpb: int,
     w = pl.program_id(0)
     st = starts_ref[w]
     blk15 = blk_ref[...].reshape(f + 1, s_blk)       # [F+1, K*lpb]
-    vals = blk15[:f]
     # slot -> sorted-particle index rides as the last field (planes.py
     # packs it as packed[:, 7]; empty slots carry -1), so the one-hot
     # builds from the BLOCK side — no per-particle side-channel DMA.
     pidx = blk15[f].astype(jnp.int32)                # [s_blk]
     rel = pidx - st
+    # (mask stays int32 until the 2D compare: an i1 vector minor-dim
+    # insertion is unsupported by Mosaic)
+    ok = (pidx >= 0).astype(jnp.int32)
     oh = jnp.where(
-        (pidx >= 0)[None, :]
-        & (rel[None, :]
-           == lax.broadcasted_iota(jnp.int32, (max_p, s_blk), 0)),
-        1.0, 0.0)                                    # [max_p, s_blk]
-    # rows[p, f] = sum_s oh[p, s] * vals[f, s]
-    rows = lax.dot_general(oh, vals, (((1,), (1,)), ((), ())),
-                           precision=_HIGH)          # [max_p, f]
+        (ok[:, None] > 0)
+        & (rel[:, None]
+           == lax.broadcasted_iota(jnp.int32, (s_blk, max_p), 1)),
+        1.0, 0.0).astype(jnp.bfloat16)               # [s_blk, max_p]
+    # TRANSPOSED contraction: rows_t[f, p] = sum_s vals[f, s] * oh[s, p].
+    # The streamed MXU dim is F (~14 rows) instead of the padded-to-128
+    # lane dim of the naive  oh[P,S] @ vals[S,F]  form — measured 9x
+    # less MXU work — and the 3-term bf16 expansion (exact: the one-hot
+    # is 0/1 in bf16) halves the passes vs precision=HIGHEST.
+    fpad = -(-(f) // 8) * 8
+    vals = jnp.concatenate(
+        [blk15[:f], jnp.zeros((fpad - f, s_blk), jnp.float32)], axis=0)
+    v1 = vals.astype(jnp.bfloat16)
+    r1 = vals - v1.astype(jnp.float32)
+    v2 = r1.astype(jnp.bfloat16)
+    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    def bf16dot(v):
+        return lax.dot_general(v, oh, dn,
+                               preferred_element_type=jnp.float32)
+
+    rows_t = bf16dot(v1) + bf16dot(v2) + bf16dot(v3)  # [fpad, max_p]
     # the HBM row store must span full 128-lane tiles (Mosaic DMA slice
     # alignment), so rows pad to 128 lanes
-    rows_scr[:, :f] = rows
+    rows_scr[:, :fpad] = rows_t.T
     cout = pltpu.make_async_copy(rows_scr,
                                  out_hbm.at[pl.ds(st, max_p)], sem_out)
     cout.start()

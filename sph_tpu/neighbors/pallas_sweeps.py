@@ -557,10 +557,13 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
                    pvec, geom, interpret)
 
     # --- one row gather back to (sorted) particle order ---
-    # (measured: the MXU one-hot matmul variant, mxu_permute.gather_call,
-    # loses to the XLA row gather — its [max_p, S] @ [S, 14] matmuls pad
-    # the 14-field dim to 128 MXU lanes and HIGHEST precision triples the
-    # passes: 151 ms vs 46 ms at 1M)
+    # (measured at 1M, see PERF.md: XLA row gather 46.5 ms; the naive
+    # MXU one-hot gather 151 ms; the TRANSPOSED MXU one-hot gather
+    # (mxu_permute.gather_call, F streamed as MXU rows) 67.8 ms — the
+    # one-hot matmul work per window is ~170x the useful data whatever
+    # the orientation; gathering from the [14, T] side (axis=1) ties at
+    # 46.4 ms; a materialized lane-major [.., CW, K] transpose OOMs at
+    # compile (XLA tiles the K-minor copy at 16x padding, 18.6 GB).)
     stacked = jnp.stack([npx, npy, npz, nvx, nvy, nvz, ax, ay, az,
                          rho_out, *xs], axis=0)        # [14, ny, nc, K, CW]
     per = stacked.reshape(14, -1).T[PL.out_flat_index(s, geom)]  # [N, 14]
