@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Per-stage profiler for the Pallas substep: sort / planes / density /
-force / xsph / gather.  Each stage runs in its own jit with a lax.scan of
-`reps` iterations (data dependency threaded), so tunnel round-trips
-amortize.  Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+"""Per-stage profiler for the Pallas substep: sort / fluid tables /
+ghost tables (per-frame, not per-substep) / density / force+xsph /
+gather.  Each stage runs in its own jit with a lax.scan of `reps`
+iterations (data dependency threaded), so tunnel round-trips amortize.
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
     python scripts/profile_pallas.py [config] [reps]
 """
 from __future__ import annotations
@@ -36,14 +37,19 @@ print(f"config={cfg_name} n={state.n} dims={sim.grid_dims} "
       file=sys.stderr)
 
 interp = jax.default_backend() not in ("tpu", "axon")
-key = PL.compute_keys_ymajor(state.pos, state.valid, params, geom)
+fluid_mask = (state.valid > 0) & (state.ghost == 0)
+key = PL.compute_keys_ymajor(state.pos, fluid_mask, params, geom)
 contrib = state.contrib_mask(params.ghost_face_active)
 s = PL.sort_particles(state, key, contrib)
-planes = PL.build_planes(s, params, geom)
+ft = PL.build_fluid_tables(s, params, geom)
+aux = K.build_aux(state, params, sim)
+gt = aux if isinstance(aux, PL.GhostTables) else None
+occ_rows = ft.occ_rows if gt is None else (
+    ft.occ_rows | (gt.occ << PL.GOCC_SHIFT))
 pvec = K._make_pvec(params, params.dt)
 
-rho_out = K.density_call(planes, pvec, geom, interp)
-f_outs = K.force_call(planes, rho_out, pvec, geom, interp)
+rho_out = K.density_call(ft, occ_rows, gt, pvec, geom, interp)
+f13 = K.force_xsph_call(ft, occ_rows, rho_out, gt, pvec, geom, interp)
 
 
 def timed(name, fn, *args):
@@ -72,95 +78,59 @@ def scanned(body):
 # --- sort: perturb pos slightly each iter so sort isn't cached ---
 def sort_body(pos, p):
     st = state.replace(pos=pos)
-    k2 = PL.compute_keys_ymajor(pos, st.valid, p, geom)
+    k2 = PL.compute_keys_ymajor(pos, fluid_mask, p, geom)
     srt = PL.sort_particles(st, k2, contrib)
     return srt.pos * 1.0000001
 
 timed("keys+sort", scanned(sort_body), state.pos, params)
 
 
-def planes_body(pos, p, method="butterfly"):
+def tables_body(pos, p, method="butterfly"):
     srt = s._replace(pos=pos)
-    pl_ = PL.build_planes(srt, p, geom, method=method)
-    return pos + pl_.px[0, 0, 0, :3].sum() * 1e-20
+    t = PL.build_fluid_tables(srt, p, geom, method=method)
+    return pos + t.tbl[0, 1, 0, 0, :3].sum() * 1e-20
 
-timed("build_planes(bfly)", scanned(planes_body), s.pos, params)
-timed("build_planes(mxu)",
-      scanned(lambda pos, p: planes_body(pos, p, "mxu")), s.pos, params)
+timed("fluid_tables(bfly)", scanned(tables_body), s.pos, params)
+timed("fluid_tables(mxu)",
+      scanned(lambda pos, p: tables_body(pos, p, "mxu")), s.pos, params)
 
 
-def density_body(pv, pl_):
-    r = K.density_call(pl_, pv, geom, interp)
+def ghost_body(pos, p):
+    st = state.replace(pos=pos)
+    t = PL.build_ghost_tables(st, p, geom)
+    return pos + t.tbl[0, 1, 0, 0, :3].sum() * 1e-20
+
+timed("ghost_tables(frame)", scanned(ghost_body), state.pos, params)
+
+
+def density_body(pv, t, g, occ):
+    r = K.density_call(t, occ, g, pv, geom, interp)
     return pv + r[0, 0, 0, 0] * 1e-20
 
-timed("density_kernel", scanned(density_body), pvec, planes)
+timed("density_kernel", scanned(density_body), pvec, ft, gt, occ_rows)
 
 
-def force_body(pv, pl_, rc):
-    outs = K.force_call(pl_, rc, pv, geom, interp)
-    return pv + outs[0][0, 0, 0, 0] * 1e-20
+def force_body(pv, t, g, occ, rc):
+    out = K.force_xsph_call(t, occ, rc, g, pv, geom, interp)
+    return pv + out[0, 0, 0, 0, 0] * 1e-20
 
-timed("force_kernel", scanned(force_body), pvec, planes, rho_out)
-
-
-def xsph_body(pv, pl_, rc, np_, nv_):
-    xs = K.xsph_call(pl_, rc, np_, nv_, pv, geom, interp)
-    return pv + xs[0][0, 0, 0, 0] * 1e-20
-
-timed("xsph_kernel", scanned(xsph_body), pvec, planes, rho_out,
-      tuple(f_outs[0:3]), tuple(f_outs[3:6]))
+timed("force+xsph_kernel", scanned(force_body), pvec, ft, gt, occ_rows,
+      rho_out)
 
 
 def gather_body(x, fo, rc, s_):
     # NOTE: fo/rc/s_ must be ARGS — closing over them embeds ~1 GB of
     # array constants in the compile request (HTTP 413 over the tunnel).
-    stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
-                         rc, fo[0], fo[1], fo[2], rc], axis=0)
+    stacked = jnp.concatenate([fo + x * 1e-20, rc[None]], axis=0)
     per = stacked.reshape(14, -1).T[PL.out_flat_index(s_, geom)]
     return (per[:, 0] * 1e-20).sum() + x * 1.0000001
 
 timed("output_gather(rows)", scanned(gather_body), jnp.float32(1.0),
-      tuple(f_outs), rho_out, s)
+      f13, rho_out, s)
 
 
-def gather_axis1_body(x, fo, rc, s_):
-    stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
-                         rc, fo[0], fo[1], fo[2], rc], axis=0)
-    flat = stacked.reshape(14, -1)
-    per = flat[:, PL.out_flat_index(s_, geom)]       # [14, N]
-    return (per[0] * 1e-20).sum() + x * 1.0000001
+def full_body(st, p, ax):
+    out = K.substep(st, p, p.dt, sim, aux=ax)
+    return st.replace(pos=out.pos)
 
-timed("output_gather(axis1)", scanned(gather_axis1_body), jnp.float32(1.0),
-      tuple(f_outs), rho_out, s)
-
-
-# (measured failures, do not re-try: a lane-major [..,CW,K] transpose of
-# the stacked table OOMs at compile — XLA materializes the K-minor copy
-# f32[14,ny,nc,CW,K]{T(8,128)} at 16x tile padding = 18.6 GB (PERF.md
-# finding 8); the transposed MXU one-hot gather below runs 67.8 ms at 1M
-# vs the 46.5 ms row gather — one-hot matmul work per window is ~170x
-# the useful data in either orientation.)
-
-
-def gather_mxu_body(x, fo, rc, pidx_c, starts):
-    from sph_tpu.neighbors import mxu_permute as MX
-    stacked = jnp.stack([fo[0] + x * 1e-20, *fo[1:9],
-                         rc, fo[0], fo[1], fo[2], rc, pidx_c], axis=0)
-    per = MX.gather_call(stacked, starts, geom, s.key.shape[0],
-                         lanes_per_block=128, max_p=512, interpret=interp)
-    return (per[:, 0] * 1e-20).sum() + x * 1.0000001
-
-from sph_tpu.neighbors import mxu_permute as _MX
-_, _, _starts, _ovf = _MX.gather_window_ids(s.key, s.rank, geom, 128, 512)
-print(f"gather windows overflow: {bool(_ovf)}", file=sys.stderr)
-timed("output_gather(mxu)", scanned(gather_mxu_body), jnp.float32(1.0),
-      tuple(f_outs), rho_out, PL.center_from_chunks(planes.pidx, geom),
-      _starts)
-
-
-def full_body(pos, p):
-    st = state.replace(pos=pos)
-    out = K.substep(st, p, p.dt, sim)
-    return out.pos
-
-timed("FULL substep", scanned(full_body), state.pos, params)
+timed("FULL substep", scanned(full_body), state, params, aux)

@@ -47,8 +47,11 @@ class SceneBuffers:
 
 
 def sph_solve(state: ParticleState, params: FluidParams, dt: jax.Array,
-              config: SimConfig) -> ParticleState:
-    """The SPH force/integrate stage with the configured neighbor engine."""
+              config: SimConfig, aux=None) -> ParticleState:
+    """The SPH force/integrate stage with the configured neighbor engine.
+
+    ``aux``: neighbor-engine frame constants (the pallas engine's static
+    ghost tables, built once per frame by :func:`neighbor_aux`)."""
     if config.neighbor_impl == "brute":
         return brute_force.substep(state, params, dt)
     if config.neighbor_impl == "cell":
@@ -58,15 +61,26 @@ def sph_solve(state: ParticleState, params: FluidParams, dt: jax.Array,
         return binned.substep(state, params, dt, config)
     if config.neighbor_impl == "pallas":
         from sph_tpu.neighbors import pallas_sweeps
-        return pallas_sweeps.substep(state, params, dt, config)
+        return pallas_sweeps.substep(state, params, dt, config, aux=aux)
     raise ValueError(f"unknown neighbor_impl: {config.neighbor_impl}")
 
 
+def neighbor_aux(state: ParticleState, params: FluidParams,
+                 config: SimConfig):
+    """Frame-constant neighbor data (ghost tables for the pallas
+    engine).  Ghost positions and per-face activation never change
+    within a frame's substeps, so this is hoisted out of the scan."""
+    if config.neighbor_impl != "pallas":
+        return None
+    from sph_tpu.neighbors import pallas_sweeps
+    return pallas_sweeps.build_aux(state, params, config)
+
+
 def substep(state: ParticleState, params: FluidParams, buffers: SceneBuffers,
-            dt: jax.Array, config: SimConfig
+            dt: jax.Array, config: SimConfig, aux=None
             ) -> Tuple[ParticleState, SceneBuffers]:
     """One full substep: solve -> container -> river -> fountain."""
-    state = sph_solve(state, params, dt, config)
+    state = sph_solve(state, params, dt, config, aux=aux)
     state = constraints.apply_container(state, params)
     if config.river_mode:
         state = constraints.apply_terrain(state, buffers.terrain, params)
@@ -80,14 +94,26 @@ def substep(state: ParticleState, params: FluidParams, buffers: SceneBuffers,
     return state, buffers
 
 
-@functools.partial(jax.jit, static_argnames=("n_substeps", "config"))
 def run_substeps(state: ParticleState, params: FluidParams,
                  buffers: SceneBuffers, dt: jax.Array, n_substeps: int,
                  config: SimConfig) -> Tuple[ParticleState, SceneBuffers]:
-    """``n_substeps`` fixed-dt substeps under one jit (lax.scan)."""
+    """``n_substeps`` fixed-dt substeps under one jit (lax.scan).
+
+    Frame-constant neighbor aux (the pallas engine's static ghost
+    tables) is built once here and threaded through the scan."""
+    aux = neighbor_aux(state, params, config)
+    return _run_substeps_jit(state, params, buffers, dt, n_substeps,
+                             config, aux)
+
+
+@functools.partial(jax.jit, static_argnames=("n_substeps", "config"))
+def _run_substeps_jit(state: ParticleState, params: FluidParams,
+                      buffers: SceneBuffers, dt: jax.Array,
+                      n_substeps: int, config: SimConfig, aux
+                      ) -> Tuple[ParticleState, SceneBuffers]:
     def body(carry, _):
         st, buf = carry
-        st, buf = substep(st, params, buf, dt, config)
+        st, buf = substep(st, params, buf, dt, config, aux=aux)
         return (st, buf), None
 
     (state, buffers), _ = jax.lax.scan(body, (state, buffers), None,

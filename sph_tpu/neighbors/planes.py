@@ -1,34 +1,45 @@
-"""Plane-table geometry + construction for the Pallas sweep kernels.
+"""Table geometry + construction for the Pallas sweep kernels.
 
-The Pallas neighbor engine (``pallas_sweeps.py``) consumes per-field
-"cell-block planes": dense ``[ny+2, n_chunks, K, CW + 2*H]`` f32 arrays
-where
+The Pallas neighbor engine (``pallas_sweeps.py``) consumes dense
+"cell-block tables": ONE stacked ``[F, ny+2, n_chunks, K, CW]`` f32
+array per particle family (fluid / ghost) where
 
-- ``ny+2``    = y cell rows with a +-1 halo (gravity is -Y, so empty-space
-                skipping is most effective when y is the program axis),
-- ``K``       = cell capacity (slot index, the f32 sublane dim = 8, so
-                each (row, chunk) block is a full-VPU ``(K, CWH)`` tile),
-- lanes       = the (z, x) plane flattened as ``zx = zp * nxp + xp`` with
-                per-axis +-1 halos baked in (``nxp = nx+2``), chunked into
-                ``n_chunks`` windows of ``CW`` lanes, each carrying
-                ``H = nxp + 1`` extra halo lanes per side so that every
-                neighbor-cell offset (dy, dz, dx) is a *static lane slice*:
-                ``lane_off = H + dz * nxp + dx``.
+- ``ny+2``    = y cell rows with a +-1 sentinel halo (gravity is -Y, so
+                empty-space skipping is most effective when y is the
+                program axis),
+- ``K``       = cell capacity (slot index, the f32 sublane dim, so each
+                (row, chunk) block is a stack of full-VPU ``(K, CW)``
+                tiles),
+- lanes       = the (z, x) plane flattened as ``zx = zp * nxp + xp``
+                with per-axis +-1 border cells baked in
+                (``nxp = nx + 2``), chunked into ``n_chunks`` disjoint
+                windows of ``CW`` lanes (CW is 128-aligned so the MXU
+                expand kernel can write chunk slices directly).
 
-Cells beyond the container grid and empty slots hold a far-away sentinel
-position, so the ``r^2 < h^2`` test eliminates them with no flag traffic
-(same trick as ``binned.py``).
+Unlike round 1 there are NO baked halo lanes: each kernel program
+fetches the 3x3 neighboring (y, chunk) blocks and assembles the
+halo-extended ``(K, CW + 2H)`` source rows in VMEM (the same clamped
+re-fetch trick the force kernel already used for the density planes —
+junk lanes introduced by edge clamping are provably never read by real
+destination cells, see ``pallas_sweeps._ext_rows``).
 
-The construction path is: y-major cell keys -> 9-operand ``lax.sort`` ->
-per-cell rank -> one ascending packed row scatter into the padded table ->
-transpose to slot-major planes -> chunk.  See SURVEY.md §7 ("hard parts")
-for why sort-based binning replaces the reference's atomicExchange linked
-lists (``BuildGrid.comp:36``).
+Ghost boundary particles live in their OWN static position-only table:
+ghosts never move, carry rho = rho0 / pressure 0 / velocity 0
+(``shaders/SPHFluid.comp:71-83``), so their sweeps need no velocity, no
+density and no output slots — and keeping them out of the fluid tables
+un-poisons the occupancy gate that drives the kernels' slot loops
+(PERF.md finding 1).
+
+The construction path is: y-major cell keys -> 9-operand ``lax.sort``
+-> per-cell rank -> expand (MXU one-hot matmul kernel or butterfly
+shifts) -> stacked dense chunks.  See SURVEY.md §7 for why sort-based
+binning replaces the reference's atomicExchange linked lists
+(``BuildGrid.comp:36``).
 """
 from __future__ import annotations
 
 import math
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +55,12 @@ SENTINEL_POS = 1.0e7
 # face+1[26:29] color_group[29]
 _OID_BITS = 22
 _OID_MASK = (1 << _OID_BITS) - 1
+
+# occ_rows bit packing (see FluidTables.occ_rows)
+OCC_BITS = 5
+OCC_MASK = (1 << OCC_BITS) - 1
+DEST_BIT = 1 << OCC_BITS
+GOCC_SHIFT = OCC_BITS + 1
 
 
 class PlaneGeom(NamedTuple):
@@ -75,11 +92,14 @@ class PlaneGeom(NamedTuple):
 
     @property
     def halo(self) -> int:
+        """Lane-halo width: one z row +- one x cell."""
         return self.nxp + 1
 
     @property
     def cw(self) -> int:
-        return -(-self.nzx // self.n_chunks)
+        """Chunk width in lanes; 128-aligned so MXU expand windows tile
+        chunks exactly."""
+        return 128 * (-(-self.nzx // (128 * self.n_chunks)))
 
     @property
     def nzxp(self) -> int:
@@ -87,6 +107,7 @@ class PlaneGeom(NamedTuple):
 
     @property
     def cwh(self) -> int:
+        """Halo-extended width of the in-kernel assembled source rows."""
         return self.cw + 2 * self.halo
 
     @property
@@ -100,20 +121,25 @@ def geom_for(config: SimConfig, max_cwh: int = 0) -> PlaneGeom:
     nx, ny, nz = config.grid_dims
     nzx = (nz + 2) * (nx + 2)
     halo = nx + 3
+    max_cw = max(128, max_cwh - 2 * halo)
     n_chunks = 1
-    while -(-nzx // n_chunks) + 2 * halo > max_cwh:
+    while 128 * (-(-nzx // (128 * n_chunks))) > max_cw:
         n_chunks += 1
-    return PlaneGeom(nx=nx, ny=ny, nz=nz, cap=config.cell_capacity,
-                     n_chunks=n_chunks)
+    g = PlaneGeom(nx=nx, ny=ny, nz=nz, cap=config.cell_capacity,
+                  n_chunks=n_chunks)
+    # the in-kernel halo assembly reads at most H lanes from each
+    # neighboring chunk, so chunks must be at least one halo wide
+    assert g.cw >= g.halo, (g.cw, g.halo)
+    return g
 
 
-def compute_keys_ymajor(pos: jax.Array, valid: jax.Array,
+def compute_keys_ymajor(pos: jax.Array, mask: jax.Array,
                         params: FluidParams, geom: PlaneGeom) -> jax.Array:
-    """y-major cell key ``x + nx*(z + nz*y)``; invalid -> spill key C."""
+    """y-major cell key ``x + nx*(z + nz*y)``; mask=False -> spill key C."""
     from sph_tpu.core.params import grid_cell_coords
     c = grid_cell_coords(pos, params, (geom.nx, geom.ny, geom.nz))
     key = c[:, 0] + geom.nx * (c[:, 2] + geom.nz * c[:, 1])
-    return jnp.where(valid > 0, key, geom.num_cells)
+    return jnp.where(mask, key, geom.num_cells)
 
 
 def pack_meta(state: ParticleState, contrib: jax.Array) -> jax.Array:
@@ -169,14 +195,20 @@ def sort_particles(state: ParticleState, key: jax.Array,
          state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
          state.foam, meta),
         dimension=0, num_keys=1, is_stable=True)
+    return Sorted(key=skey, rank=_ranks(skey),
+                  pos=jnp.stack([px, py, pz], -1),
+                  vel=jnp.stack([vx, vy, vz], -1),
+                  foam=foam, meta=smeta)
+
+
+def _ranks(skey: jax.Array) -> jax.Array:
+    """Index-within-equal-key-run for an ascending key array."""
+    n = skey.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
     seg_start = lax.associative_scan(jnp.maximum,
                                      jnp.where(is_start, iota, 0))
-    return Sorted(key=skey, rank=iota - seg_start,
-                  pos=jnp.stack([px, py, pz], -1),
-                  vel=jnp.stack([vx, vy, vz], -1),
-                  foam=foam, meta=smeta)
+    return iota - seg_start
 
 
 def to_particle_state(s: Sorted, density: jax.Array, pressure: jax.Array,
@@ -196,31 +228,25 @@ def padded_cell_index(key: jax.Array, geom: PlaneGeom) -> jax.Array:
     return (x + 1) + geom.nxp * ((z + 1) + geom.nzp * (y + 1))
 
 
-def chunk_lanes(plane: jax.Array, geom: PlaneGeom,
-                sentinel: float) -> jax.Array:
-    """[..., NZX] -> [..., n_chunks, CWH] with halo + tail padding baked in."""
-    lead = plane.shape[:-1]
-    h, cw = geom.halo, geom.cw
-    tail = geom.nzxp - geom.nzx + h
-    full = jnp.pad(plane, [(0, 0)] * len(lead) + [(h, tail)],
-                   constant_values=sentinel)
-    chunks = [lax.slice_in_dim(full, c * cw, c * cw + geom.cwh, axis=-1)
-              for c in range(geom.n_chunks)]
-    return jnp.stack(chunks, axis=-2)
+class FluidTables(NamedTuple):
+    """Stacked dense fluid source tables + occupancy.
 
-
-class Planes(NamedTuple):
-    """Cell-block field planes [nyp, n_chunks, K, CWH] + occupancy."""
-    px: jax.Array
-    py: jax.Array
-    pz: jax.Array
-    vx: jax.Array
-    vy: jax.Array
-    vz: jax.Array
-    ghost_on: jax.Array
-    pidx: jax.Array      # sorted particle index per slot (-1 = empty)
-    occ_rows: jax.Array  # [nyp, n_chunks] i32: max slot bound per row & chunk
+    ``tbl``: [7, nyp, nc, K, CW] — px py pz vx vy vz pidx (pidx = sorted
+    particle index as f32; empty slots carry -1 and SENTINEL_POS).
+    ``occ_rows``: [nyp, nc] i32 — bits0:5 fluid max-slot bound over the
+    chunk window + its +-H halo lanes, bit5 "window interior holds any
+    fluid" dest gate, bits6:11 ghost occ bound (merged in by substep).
+    """
+    tbl: jax.Array
+    occ_rows: jax.Array
     in_bin: jax.Array    # [N] bool
+    overflow: jax.Array  # [] i32
+
+
+class GhostTables(NamedTuple):
+    """Static position-only ghost source table (built once per frame)."""
+    tbl: jax.Array       # [3, nyp, nc, K, CW]
+    occ: jax.Array       # [nyp, nc] i32 ghost occ bound incl halo
     overflow: jax.Array  # [] i32
 
 
@@ -236,152 +262,165 @@ def default_expand_method(geom: PlaneGeom) -> str:
     return "mxu" if geom.padded_cells * geom.cap >= 4_000_000 else "butterfly"
 
 
-def build_planes(s: Sorted, params: FluidParams, geom: PlaneGeom,
-                 method: str = "auto") -> Planes:
-    """``method``: "auto" (size-based pick), "mxu" (one-hot matmul
-    kernel, overflow-guarded), "butterfly" (lane-major conditional
-    shifts), "scatter" (XLA rows)."""
+def _expand_tables(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
+                   overflow: jax.Array, geom: PlaneGeom, hole: jax.Array,
+                   method: str) -> jax.Array:
+    """[N, F] sorted rows -> [F, nyp, nc, K, CW] stacked dense tables."""
     if method == "auto":
         method = default_expand_method(geom)
     k = geom.cap
-    num_cells = geom.num_cells
+    f = packed.shape[1]
     pc_count = geom.padded_cells
-    n = s.key.shape[0]
-
-    m = unpack_meta(s.meta)
-    contrib = m.contrib > 0
-    in_bin = (s.rank < k) & (s.key < num_cells)
-
-    overflow = jnp.sum(((s.rank >= k) & (s.key < num_cells)
-                        & (m.valid > 0)).astype(jnp.int32))
-
-    src_pos = jnp.where(contrib[:, None], s.pos, SENTINEL_POS)
-    # field 7 = sorted particle index: rides through the slot tables so
-    # the MXU gather can build its one-hot from the slot side (empty
-    # slots carry -1)
-    pidx = jnp.arange(n, dtype=jnp.float32)
-    packed = jnp.concatenate([
-        src_pos, s.vel,
-        (contrib & (m.ghost > 0)).astype(jnp.float32)[:, None],
-        pidx[:, None],
-    ], axis=1)                                            # [N, 8]
-
-    pc = padded_cell_index(s.key, geom)
-    key_p = jnp.where(s.key < num_cells, pc, pc_count)
 
     from sph_tpu.neighbors import expand as EX
-    eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzp * geom.nxp, cap=k)
-    hole = jnp.concatenate([
-        jnp.full((3,), SENTINEL_POS, jnp.float32),
-        jnp.zeros((4,), jnp.float32),
-        jnp.full((1,), -1.0, jnp.float32)])       # empty pidx = -1
+    eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzx, cap=k)
 
     if method == "mxu":
-        # one-hot MXU permutation kernel (neighbors/mxu_permute.py):
-        # table blocks materialize as onehot @ particle-row matmuls.
         from sph_tpu.neighbors import mxu_permute as MX
         cpb, max_p = 128, 512
         _, in_slot, starts, win_ovf = MX.expand_window_ids(
-            key_p, s.rank, geom, cpb, max_p)
-        nsc, _, _ = MX.expand_windows(geom, cpb)
+            key_p, rank, geom, cpb, max_p)
         interp = _interpret_default()
 
         def via_mxu(pk):
-            out = MX.expand_call(pk, in_slot, starts, geom, hole,
-                                 cells_per_block=cpb, max_p=max_p,
-                                 interpret=interp)
-            return out[:, :, :, :geom.nzx]            # [8, nyp, K, NZX]
+            return MX.expand_call(pk, in_slot, starts, geom, hole,
+                                  cells_per_block=cpb, max_p=max_p,
+                                  interpret=interp)
 
         def via_scatter(pk):
             # rare overflow fallback: per-field 1D scatters into k-MAJOR
-            # flat tables, so both cond branches carry the same sane
-            # (cells-minor) physical layout — mixing a k-minor branch in
-            # makes XLA tile the whole cond output at 16x padding
-            # (27 GB HBM at the 512k-rotated grid; see PERF.md)
-            cps = geom.nzp * geom.nxp
-            total = k * pc_count
-            in2 = (s.rank < k) & (key_p < pc_count)
-            slot2 = jnp.where(in2, s.rank * pc_count + key_p, total)
+            # flat tables over the lane-PADDED cell space (so the tail
+            # lanes beyond nzx carry the hole fill, not junk), keeping
+            # both cond branches in the same sane cells-minor layout —
+            # mixing a k-minor branch in makes XLA tile the whole cond
+            # output at 16x padding (27 GB HBM; see PERF.md)
+            ppc = geom.nyp * geom.nzxp
+            total = k * ppc
+            yp = key_p // geom.nzx
+            lane = key_p - yp * geom.nzx
+            key_pp = jnp.where(key_p < pc_count,
+                               yp * geom.nzxp + lane, ppc)
+            in2 = (rank < k) & (key_pp < ppc)
+            slot2 = jnp.where(in2, rank * ppc + key_pp, total)
             fields = []
-            for i in range(8):
+            for i in range(f):
                 t = jnp.full((total + 1,), hole[i], jnp.float32)
                 t = t.at[slot2].set(pk[:, i], mode="drop",
                                     unique_indices=True)
                 fields.append(t[:total])
-            t8 = jnp.stack(fields)                     # [8, K*PC]
-            return jnp.transpose(
-                t8.reshape(8, k, geom.nyp, cps), (0, 2, 1, 3))
+            t8 = jnp.stack(fields)                     # [F, K*PPC]
+            t5 = t8.reshape(f, k, geom.nyp, geom.n_chunks, geom.cw)
+            return jnp.transpose(t5, (0, 2, 3, 1, 4))
 
         # (cell-rank overflow needs no fallback here: rank >= K maps to
         # the dropped slot, same as the scatter path's spill row)
-        planes = lax.cond(win_ovf, via_scatter, via_mxu, packed)
+        return lax.cond(win_ovf, via_scatter, via_mxu, packed)
+
+    if method == "butterfly":
+        table_t = EX.expand_T(packed, key_p, rank, overflow, eg, hole)
     else:
-        if method == "butterfly":
-            # lane-major monotone butterfly expand (neighbors/expand.py)
-            table_t = EX.expand_T(packed, key_p, s.rank, overflow, eg,
-                                  hole)
-        else:
-            table_t = EX.expand_scatter_T(packed, key_p, s.rank, eg, hole)
-        # [nyp, 8, NZX*K] -> [nyp, 8, NZX, K] -> [8, nyp, K, NZX]
-        planes = jnp.transpose(
-            table_t.reshape(geom.nyp, 8, geom.nzx, k), (1, 0, 3, 2))
-
-    # Slot bound per cell (max occupied slot + 1) from the sentinel
-    # pattern, maxed over each chunk window + halo.  Bit 4 carries a
-    # dest gate: "this row's CENTER window (no halo) holds any FLUID
-    # particle" — windows holding only ghosts/empties (e.g. the wall
-    # shells above the fluid surface) are pure neighbor *sources*, so
-    # the kernels skip their pair loops entirely.
-    occupied = planes[0] < SENTINEL_POS * 0.5            # [nyp, K, NZX]
-    slot_ids = jnp.arange(1, k + 1, dtype=jnp.int32).reshape(1, k, 1)
-    occ_cell = jnp.max(jnp.where(occupied, slot_ids, 0), axis=1)  # [nyp, NZX]
-    occ_chunk = jnp.max(chunk_lanes(occ_cell, geom, 0.0), axis=-1)  # [nyp, nc]
-    fluid_cell = jnp.any(occupied & (planes[6] <= 0.0), axis=1)   # [nyp, NZX]
-    pad_tail = geom.nzxp - geom.nzx
-    fluid_win = jnp.pad(fluid_cell, ((0, 0), (0, pad_tail))) \
-        .reshape(geom.nyp, geom.n_chunks, geom.cw)
-    dest_any = jnp.any(fluid_win, axis=-1).astype(jnp.int32)      # [nyp, nc]
-    occ_chunk = occ_chunk | (dest_any << 4)
-
-    def cp(i, sent=0.0):
-        # [nyp, K, NZX] -> [nyp, nc, K, CWH] via direct slices: the old
-        # chunk-then-transpose route let XLA pick a K-minor layout for
-        # the [nyp, K, nc*CWH] intermediate (16x tile padding -> HBM OOM
-        # at 512k-rotated grid sizes, see PERF.md)
-        h, cw = geom.halo, geom.cw
-        tail = geom.nzxp - geom.nzx + h
-        full = jnp.pad(planes[i], ((0, 0), (0, 0), (h, tail)),
-                       constant_values=sent)
-        chunks = [lax.slice_in_dim(full, c * cw, c * cw + geom.cwh,
-                                   axis=-1)
-                  for c in range(geom.n_chunks)]
-        return jnp.stack(chunks, axis=1)
-
-    return Planes(
-        px=cp(0, SENTINEL_POS), py=cp(1, SENTINEL_POS),
-        pz=cp(2, SENTINEL_POS),
-        vx=cp(3), vy=cp(4), vz=cp(5), ghost_on=cp(6), pidx=cp(7, -1.0),
-        occ_rows=occ_chunk, in_bin=in_bin, overflow=overflow)
+        table_t = EX.expand_scatter_T(packed, key_p, rank, eg, hole)
+    # [nyp, F, nzx*K] -> pad the lane-cell dim WITH THE HOLE VALUES
+    # (zero-padding would plant fake sources at the origin) ->
+    # [F, nyp, nc, K, CW].  Padding happens on the flat slot dim
+    # (lane-major, sane layout); the k-minor intermediate below is the
+    # same deferred-bitcast transpose the round-1 path used (XLA fuses
+    # it; see PERF.md 8).
+    pad = (geom.nzxp - geom.nzx) * k
+    if pad:
+        fill = jnp.broadcast_to(hole[None, :, None],
+                                (geom.nyp, f, pad)).astype(table_t.dtype)
+        table_t = jnp.concatenate([table_t, fill], axis=2)
+    t5 = table_t.reshape(geom.nyp, f, geom.n_chunks, geom.cw, k)
+    return jnp.transpose(t5, (1, 0, 2, 4, 3))
 
 
-def center_from_chunks(plane: jax.Array, geom: PlaneGeom) -> jax.Array:
-    """[nyp, n_chunks, K, CWH] src plane -> interior [ny, n_chunks, K, CW]
-    (the kernel-output layout)."""
+def _window_occ(counts_p: jax.Array, geom: PlaneGeom, cap: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Per-padded-cell counts [nyp, nzx] -> (window occ bound incl +-H
+    halo lanes [nyp, nc], window-interior-nonempty gate [nyp, nc])."""
+    occ_cell = jnp.minimum(counts_p, cap).astype(jnp.int32)
+    occ_flat = jnp.pad(occ_cell, ((0, 0), (0, geom.nzxp - geom.nzx)))
+    win = occ_flat.reshape(geom.nyp, geom.n_chunks, geom.cw)
     h = geom.halo
-    return plane[1:1 + geom.ny, :, :, h:h + geom.cw]
+    interior = jnp.max(win, axis=-1)                       # [nyp, nc]
+    tails = jnp.max(win[:, :, geom.cw - h:], axis=-1)
+    heads = jnp.max(win[:, :, :h], axis=-1)
+    z = jnp.zeros((geom.nyp, 1), jnp.int32)
+    left = jnp.concatenate([z, tails[:, :-1]], axis=1)
+    right = jnp.concatenate([heads[:, 1:], z], axis=1)
+    occ = jnp.maximum(jnp.maximum(interior, left), right)
+    return occ, (interior > 0).astype(jnp.int32)
 
 
-def rechunk_output(arr: jax.Array, geom: PlaneGeom,
-                   sentinel: float) -> jax.Array:
-    """Kernel output [ny, n_chunks, K, CW] -> src-style plane
-    [nyp, n_chunks, K, CWH] (re-add y halo rows + lane halos)."""
-    # -> [ny, K, NZXp] -> trim lane padding -> [ny, K, NZX]
-    flat = jnp.transpose(arr, (0, 2, 1, 3)).reshape(
-        geom.ny, geom.cap, geom.nzxp)[..., :geom.nzx]
-    padded = jnp.pad(flat, ((1, 1), (0, 0), (0, 0)),
-                     constant_values=sentinel)            # [nyp, K, NZX]
-    ch = chunk_lanes(padded, geom, sentinel)              # [nyp, K, nc, CWH]
-    return jnp.transpose(ch, (0, 2, 1, 3))
+def _padded_counts(key_p: jax.Array, geom: PlaneGeom) -> jax.Array:
+    """[N] padded-cell keys (spill = padded_cells) -> [nyp, nzx] counts."""
+    pc_count = geom.padded_cells
+    counts = jnp.zeros((pc_count + 1,), jnp.int32).at[key_p].add(
+        1, mode="drop")
+    return counts[:pc_count].reshape(geom.nyp, geom.nzx)
+
+
+def build_fluid_tables(s: Sorted, params: FluidParams, geom: PlaneGeom,
+                       method: str = "auto") -> FluidTables:
+    """``method``: "auto" (size-based pick), "mxu" (one-hot matmul
+    kernel, overflow-guarded), "butterfly" (lane-major conditional
+    shifts), "scatter" (XLA rows).
+
+    ``s`` must be sorted with FLUID keys (ghost/invalid rows spilled to
+    ``num_cells``), so every table slot is a live fluid particle."""
+    k = geom.cap
+    num_cells = geom.num_cells
+    n = s.key.shape[0]
+
+    in_bin = (s.rank < k) & (s.key < num_cells)
+    overflow = jnp.sum(((s.rank >= k) & (s.key < num_cells))
+                       .astype(jnp.int32))
+
+    pidx = jnp.arange(n, dtype=jnp.float32)
+    packed = jnp.concatenate([s.pos, s.vel, pidx[:, None]], axis=1)
+
+    pc = padded_cell_index(s.key, geom)
+    key_p = jnp.where(s.key < num_cells, pc, geom.padded_cells)
+    hole = jnp.concatenate([
+        jnp.full((3,), SENTINEL_POS, jnp.float32),
+        jnp.zeros((3,), jnp.float32),
+        jnp.full((1,), -1.0, jnp.float32)])       # empty pidx = -1
+
+    tbl = _expand_tables(packed, key_p, s.rank, overflow, geom, hole,
+                         method)
+    occ, dest = _window_occ(_padded_counts(key_p, geom), geom, k)
+    occ_rows = occ | (dest << OCC_BITS)
+    return FluidTables(tbl=tbl, occ_rows=occ_rows, in_bin=in_bin,
+                       overflow=overflow)
+
+
+def build_ghost_tables(state: ParticleState, params: FluidParams,
+                       geom: PlaneGeom, method: str = "auto"
+                       ) -> GhostTables:
+    """Static ghost source table: positions of contributing ghosts only.
+
+    Ghosts never move and per-face activation is fixed within a frame,
+    so callers build this ONCE per ``run_substeps`` and thread it
+    through the scan (``engine/step.py``)."""
+    contrib = state.contrib_mask(params.ghost_face_active)
+    gmask = (state.valid > 0) & (state.ghost > 0) & contrib
+    key = compute_keys_ymajor(state.pos, gmask, params, geom)
+    skey, px, py, pz = lax.sort(
+        (key, state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]),
+        dimension=0, num_keys=1, is_stable=True)
+    rank = _ranks(skey)
+    k = geom.cap
+    overflow = jnp.sum(((rank >= k) & (skey < geom.num_cells))
+                       .astype(jnp.int32))
+    packed = jnp.stack([px, py, pz], axis=1)
+    pc = padded_cell_index(skey, geom)
+    key_p = jnp.where(skey < geom.num_cells, pc, geom.padded_cells)
+    hole = jnp.full((3,), SENTINEL_POS, jnp.float32)
+    tbl = _expand_tables(packed, key_p, rank, overflow, geom, hole,
+                         method)
+    occ, _ = _window_occ(_padded_counts(key_p, geom), geom, k)
+    return GhostTables(tbl=tbl, occ=occ, overflow=overflow)
 
 
 def out_flat_index(s: Sorted, geom: PlaneGeom) -> jax.Array:

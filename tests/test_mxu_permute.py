@@ -1,12 +1,11 @@
-"""MXU one-hot permutation kernels vs the reference data movements."""
+"""MXU one-hot expand kernel vs the XLA scatter reference, plus the
+row-gather index round-trip over the stacked dense tables."""
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from sph_tpu.core import state as S
 from sph_tpu.core.params import FluidParams, SimConfig, compute_grid_dims
-from sph_tpu.neighbors import expand as EX
 from sph_tpu.neighbors import mxu_permute as MX
 from sph_tpu.neighbors import planes as PL
 
@@ -26,63 +25,50 @@ def _sorted_setup(n=1500, half=(3.0, 3.0, 3.0), seed=0):
 
 
 def test_expand_mxu_matches_scatter():
+    """The one-hot matmul expand writes bit-identical stacked tables to
+    the XLA scatter path (same [F, nyp, nc, K, CW] layout, same holes)."""
     s, params, geom = _sorted_setup()
-    n = s.key.shape[0]
-    m = PL.unpack_meta(s.meta)
-    contrib = m.contrib > 0
-    src_pos = jnp.where(contrib[:, None], s.pos, PL.SENTINEL_POS)
-    packed = jnp.concatenate([
-        src_pos, s.vel,
-        (contrib & (m.ghost > 0)).astype(jnp.float32)[:, None],
-        jnp.zeros((n, 1), jnp.float32)], axis=1)
+    ft_mxu = PL.build_fluid_tables(s, params, geom, method="mxu")
+    ft_ref = PL.build_fluid_tables(s, params, geom, method="scatter")
+    np.testing.assert_array_equal(np.asarray(ft_mxu.tbl),
+                                  np.asarray(ft_ref.tbl))
+    np.testing.assert_array_equal(np.asarray(ft_mxu.occ_rows),
+                                  np.asarray(ft_ref.occ_rows))
+
+
+def test_expand_butterfly_matches_scatter():
+    s, params, geom = _sorted_setup(seed=3)
+    ft_bf = PL.build_fluid_tables(s, params, geom, method="butterfly")
+    ft_ref = PL.build_fluid_tables(s, params, geom, method="scatter")
+    np.testing.assert_array_equal(np.asarray(ft_bf.tbl),
+                                  np.asarray(ft_ref.tbl))
+
+
+def test_expand_window_overflow_flag():
+    """Tiny max_p must trip the overflow flag so the caller conds into
+    the scatter fallback; generous max_p must not."""
+    s, params, geom = _sorted_setup()
     pc = PL.padded_cell_index(s.key, geom)
     key_p = jnp.where(s.key < geom.num_cells, pc, geom.padded_cells)
-    hole = jnp.concatenate([
-        jnp.full((3,), PL.SENTINEL_POS, jnp.float32),
-        jnp.zeros((5,), jnp.float32)])
-
-    cpb, max_p = 32, 256
-    win, in_slot, starts, ovf = MX.expand_window_ids(
-        key_p, s.rank, geom, cpb, max_p)
-    assert not bool(ovf)
-    out = MX.expand_call(packed, in_slot, starts, geom, hole,
-                         cells_per_block=cpb, max_p=max_p, interpret=True)
-
-    eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzp * geom.nxp, cap=geom.cap)
-    ref = EX.expand_scatter_T(packed, key_p, s.rank, eg, hole)
-    # ref: [nyp, F, cps*K] slot = cell*K + k; out: [F, nyp, K, nsc*cpb]
-    nsc, _, _ = MX.expand_windows(geom, cpb)
-    cps = geom.nzp * geom.nxp
-    ref4 = np.asarray(ref).reshape(geom.nyp, 8, cps, geom.cap)
-    out4 = np.asarray(out)[:, :, :, :cps * 1]  # [F, nyp, K, nsc*cpb]
-    # compare cell-by-cell: out[f, y, k, cell] == ref[y, f, cell, k]
-    out_cmp = out4[:, :, :, :cps]
-    ref_cmp = np.transpose(ref4, (1, 0, 3, 2))
-    np.testing.assert_array_equal(out_cmp, ref_cmp)
+    *_, ovf_small = MX.expand_window_ids(key_p, s.rank, geom, 128, 2)
+    *_, ovf_big = MX.expand_window_ids(key_p, s.rank, geom, 128, 4096)
+    assert bool(ovf_small)
+    assert not bool(ovf_big)
 
 
-def test_gather_mxu_matches_row_gather():
-    s, params, geom = _sorted_setup()
+def test_out_flat_index_roundtrip():
+    """The pidx field of the fluid tables, gathered back to particle
+    order by out_flat_index, recovers each in-bin particle's own sorted
+    index (the data path the substep's row gather relies on)."""
+    s, params, geom = _sorted_setup(seed=1)
+    ft = PL.build_fluid_tables(s, params, geom, method="scatter")
+    pidx_flat = ft.tbl[6].reshape(geom.nyp, geom.n_chunks, geom.cap,
+                                  geom.cw)
+    # kernel outputs have no y halo: drop the sentinel +-1 y rows to
+    # match out_flat_index's [ny, nc, K, CW] addressing
+    pidx_out = pidx_flat[1:-1].reshape(-1)
+    per = np.asarray(pidx_out[PL.out_flat_index(s, geom)])
+    in_bin = np.asarray(ft.in_bin)
     n = s.key.shape[0]
-    # fake stacked "kernel outputs": value = flat slot index, per field f
-    shape = (geom.ny, geom.n_chunks, geom.cap, geom.cw)
-    base = jnp.arange(np.prod(shape), dtype=jnp.float32).reshape(shape)
-
-    # real pidx planes from build_planes (the last stacked field)
-    planes = PL.build_planes(s, params, geom, method="scatter")
-    pidx_c = PL.center_from_chunks(planes.pidx, geom)
-    stacked = jnp.stack(
-        [base + 1000.0 * f for f in range(4)] + [pidx_c], axis=0)
-
-    lpb, max_p = 32, 256
-    win, in_slot, starts, ovf = MX.gather_window_ids(
-        s.key, s.rank, geom, lpb, max_p)
-    assert not bool(ovf)
-    per = MX.gather_call(stacked, starts, geom, n,
-                         lanes_per_block=lpb, max_p=max_p, interpret=True)
-
-    flat = stacked[:4].reshape(4, -1).T
-    ref = np.asarray(flat[PL.out_flat_index(s, geom)])
-    got = np.asarray(per)
-    in_bin = np.asarray((s.rank < geom.cap) & (s.key < geom.num_cells))
-    np.testing.assert_array_equal(got[in_bin], ref[in_bin])
+    np.testing.assert_array_equal(per[in_bin],
+                                  np.arange(n, dtype=np.float32)[in_bin])
