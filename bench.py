@@ -81,6 +81,29 @@ def main() -> None:
     assert not bool(np.isnan(np.asarray(state.pos[:1024])).any()), \
         "NaN in positions after bench run"
 
+    if sim.neighbor_impl == "pallas":
+        # Capacity audit (VERDICT r1 weak #5): particles beyond
+        # cell_capacity fall back to ballistic updates — count them and
+        # fail loudly unless the config opts out (rotated_512k's dense
+        # spawn lattice legitimately overflows for the first frames).
+        import jax.numpy as jnp
+        from sph_tpu.neighbors import planes as PL
+        geom = PL.geom_for(sim)
+        key = PL.compute_keys_ymajor(
+            state.pos, state.fluid_mask(), params, geom)
+        skey, = jax.jit(lambda k: (jax.lax.sort((k,))[0],))(key)
+        rank = PL._ranks(skey)
+        ovf = int(np.asarray(jnp.sum(
+            ((rank >= sim.cell_capacity)
+             & (skey < geom.num_cells)).astype(jnp.int32))))
+        print(f"[bench] capacity-overflow particles "
+              f"(cell rank >= {sim.cell_capacity}): {ovf}",
+              file=sys.stderr)
+        if not getattr(cfg, "allow_overflow", False):
+            assert ovf == 0, (
+                f"{ovf} particles overflowed cell_capacity="
+                f"{sim.cell_capacity}; physics silently degraded")
+
     if cfg.viz_export:
         # BASELINE config 5: headless frame export in all 4 viz modes
         # (height/speed/pressure/density) from the final state.

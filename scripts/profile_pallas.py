@@ -48,8 +48,9 @@ occ_rows = ft.occ_rows if gt is None else (
     ft.occ_rows | (gt.occ << PL.GOCC_SHIFT))
 pvec = K._make_pvec(params, params.dt)
 
-rho_out = K.density_call(ft, occ_rows, gt, pvec, geom, interp)
-f13 = K.force_xsph_call(ft, occ_rows, rho_out, gt, pvec, geom, interp)
+rho_a, rho_b = K.density_call(ft, occ_rows, gt, pvec, geom, interp)
+out_a, out_b = K.force_xsph_call(ft, occ_rows, rho_a, rho_b, gt, pvec,
+                                 geom, interp)
 
 
 def timed(name, fn, *args):
@@ -88,7 +89,7 @@ timed("keys+sort", scanned(sort_body), state.pos, params)
 def tables_body(pos, p, method="butterfly"):
     srt = s._replace(pos=pos)
     t = PL.build_fluid_tables(srt, p, geom, method=method)
-    return pos + t.tbl[0, 1, 0, 0, :3].sum() * 1e-20
+    return pos + t.tbl_a[0, 1, 0, 0, :3].sum() * 1e-20
 
 timed("fluid_tables(bfly)", scanned(tables_body), s.pos, params)
 timed("fluid_tables(mxu)",
@@ -98,35 +99,36 @@ timed("fluid_tables(mxu)",
 def ghost_body(pos, p):
     st = state.replace(pos=pos)
     t = PL.build_ghost_tables(st, p, geom)
-    return pos + t.tbl[0, 1, 0, 0, :3].sum() * 1e-20
+    return pos + t.tbl_a[0, 1, 0, 0, :3].sum() * 1e-20
 
 timed("ghost_tables(frame)", scanned(ghost_body), state.pos, params)
 
 
 def density_body(pv, t, g, occ):
-    r = K.density_call(t, occ, g, pv, geom, interp)
-    return pv + r[0, 0, 0, 0] * 1e-20
+    ra, rb = K.density_call(t, occ, g, pv, geom, interp)
+    return pv + (ra[0, 0, 0, 0] + rb[0, 0, 0, 0]) * 1e-20
 
 timed("density_kernel", scanned(density_body), pvec, ft, gt, occ_rows)
 
 
-def force_body(pv, t, g, occ, rc):
-    out = K.force_xsph_call(t, occ, rc, g, pv, geom, interp)
-    return pv + out[0, 0, 0, 0, 0] * 1e-20
+def force_body(pv, t, g, occ, ra, rb):
+    oa, ob = K.force_xsph_call(t, occ, ra, rb, g, pv, geom, interp)
+    return pv + (oa[0, 0, 0, 0, 0] + ob[0, 0, 0, 0, 0]) * 1e-20
 
 timed("force+xsph_kernel", scanned(force_body), pvec, ft, gt, occ_rows,
-      rho_out)
+      rho_a, rho_b)
 
 
-def gather_body(x, fo, rc, s_):
-    # NOTE: fo/rc/s_ must be ARGS — closing over them embeds ~1 GB of
+def gather_body(x, oa, ob, ra, rb, s_):
+    # NOTE: these must be ARGS — closing over them embeds ~1 GB of
     # array constants in the compile request (HTTP 413 over the tunnel).
-    stacked = jnp.concatenate([fo + x * 1e-20, rc[None]], axis=0)
-    per = stacked.reshape(14, -1).T[PL.out_flat_index(s_, geom)]
+    sa = jnp.concatenate([oa + x * 1e-20, ra[None]], axis=0).reshape(10, -1)
+    sb = jnp.concatenate([ob, rb[None]], axis=0).reshape(10, -1)
+    per = jnp.concatenate([sa, sb], axis=1).T[PL.out_flat_index(s_, geom)]
     return (per[:, 0] * 1e-20).sum() + x * 1.0000001
 
 timed("output_gather(rows)", scanned(gather_body), jnp.float32(1.0),
-      f13, rho_out, s)
+      out_a, out_b, rho_a, rho_b, s)
 
 
 def full_body(st, p, ax):

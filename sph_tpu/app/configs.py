@@ -41,6 +41,7 @@ class BenchConfig:
     wave_impulse: bool = False          # continuous wave each frame
     grid_cap: int = P.GRID_DIM_CAP
     cell_capacity: int = 8
+    allow_overflow: bool = False      # bench: tolerate transient rank overflow
     viz_export: bool = False
 
 
@@ -52,7 +53,11 @@ CONFIGS = {
         name="default_131k", n_target=131072, box_half=(9.5, 9.5, 9.5)),
     "rotated_512k": BenchConfig(
         name="rotated_512k", n_target=524288, box_half=(15.0, 15.0, 15.0),
-        box_euler_deg=(20.0, 0.0, 30.0), wave_impulse=True),
+        box_euler_deg=(20.0, 0.0, 30.0), wave_impulse=True,
+        # the dense 0.5h spawn lattice stacks up to ~40 particles/cell
+        # before pressure disperses it; capacity 16 (class tables of 8)
+        # keeps full SPH physics for all but a transient ~1% tail
+        cell_capacity=16, allow_overflow=True),
     "ghost_1m": BenchConfig(
         name="ghost_1m", n_target=1_000_000, box_half=(18.5, 18.5, 18.5),
         ghosts=True),

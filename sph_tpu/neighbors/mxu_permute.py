@@ -46,10 +46,11 @@ def expand_windows(geom: PlaneGeom, cells_per_block: int = 128
                    ) -> Tuple[int, int, int]:
     """(n_windows_per_row, n_windows, S_blk) over the lane-PADDED cell
     space; windows tile each padded y-row's nzxp lanes exactly (nzxp and
-    CW are 128-aligned by construction)."""
+    CW are 128-aligned by construction).  S_blk spans BOTH rank classes
+    (2*cap slots per cell)."""
     assert geom.nzxp % cells_per_block == 0, (geom.nzxp, cells_per_block)
     nsc = geom.nzxp // cells_per_block
-    return nsc, geom.nyp * nsc, cells_per_block * geom.cap
+    return nsc, geom.nyp_pad * nsc, cells_per_block * 2 * geom.cap
 
 
 def expand_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
@@ -57,8 +58,8 @@ def expand_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
                       ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per sorted particle: (window id, slot-in-window, starts[NW+1],
     overflow flag).  Slot numbering is RANK-MAJOR (slot = rank*cpb +
-    cell_in_block) so a window's [S_blk] column unfolds directly to the
-    table block's [K, cpb]."""
+    cell_in_block) so a window's [S_blk] column splits into the two
+    class tables' [cap, cpb] blocks."""
     cpb = cells_per_block
     nsc, nw, s_blk = expand_windows(geom, cpb)
     cps = geom.nzx
@@ -68,7 +69,7 @@ def expand_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
     win = jnp.where(key_p >= geom.padded_cells, nw,
                     yp * nsc + chunk)
     in_slot = jnp.where(
-        (rank < geom.cap) & (win < nw),
+        (rank < 2 * geom.cap) & (win < nw),
         rank * cpb + (cir - chunk * cpb),
         s_blk)                                   # out of range -> dropped
     counts = jnp.zeros((nw + 1,), jnp.int32).at[win].add(1, mode="drop")
@@ -80,7 +81,7 @@ def expand_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
 
 
 def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
-                   starts_ref, hole_ref, rows_hbm, out_ref,
+                   starts_ref, hole_ref, rows_hbm, out_a, out_b,
                    scratch, sem):
     w = pl.program_id(0)
     st = starts_ref[w]
@@ -116,17 +117,23 @@ def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
     # each slot holds at most one particle -> max == sum, exact in bf16
     filled = jnp.max(oh, axis=0)[None, :].astype(jnp.float32)
     blk = blk + hole_ref[...] * (1.0 - filled)
-    out_ref[...] = blk.reshape(f, 1, 1, cap, cpb)
+    # slot numbering is rank-major: ranks [0, cap) -> class table A,
+    # ranks [cap, 2*cap) -> class table B
+    half = cap * cpb
+    out_a[...] = blk[:, :half].reshape(f, 1, 1, cap, cpb)
+    out_b[...] = blk[:, half:].reshape(f, 1, 1, cap, cpb)
 
 
 def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
                 geom: PlaneGeom, hole_fill: jax.Array,
                 cells_per_block: int = 128, max_p: int = 512,
-                interpret: bool = False) -> jax.Array:
-    """[N, F] sorted rows -> [F, nyp, nc, K, CW] stacked dense tables
-    (``planes.FluidTables.tbl`` layout; windows write chunk sub-slices
-    directly since CW is a multiple of cells_per_block).  Valid only
-    when no window overflowed max_p (see ``expand_window_ids``)."""
+                interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """[N, F] sorted rows -> two [F, nyq, nc, 2*cap, CW] stacked dense
+    class tables (``planes.FluidTables`` layout; windows write chunk
+    sub-slices directly since CW is a multiple of cells_per_block, and
+    each single-row window writes the parity half of its pair's slot
+    dim).  Valid only when no window overflowed max_p (see
+    ``expand_window_ids``)."""
     n, f = packed.shape
     cpb = cells_per_block
     nsc, nw, s_blk = expand_windows(geom, cpb)
@@ -144,9 +151,19 @@ def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
         jnp.float32)
 
     def out_index(w, st):
-        r = w % nsc
-        return (0, w // nsc, r // wpc, 0, r % wpc)
+        # raw lax ops: jnp's // and % wrap in jitted sub-jaxprs, and
+        # NESTED ones break Mosaic's index-map lowering (MLIR cache
+        # KeyError); all operands are non-negative so trunc == floor
+        two = jnp.int32(2)
+        r = lax.rem(w, jnp.int32(nsc))
+        row = lax.div(w, jnp.int32(nsc))
+        return (0, lax.div(row, two), lax.div(r, jnp.int32(wpc)),
+                lax.rem(row, two), lax.rem(r, jnp.int32(wpc)))
 
+    out_spec = pl.BlockSpec((f, 1, 1, geom.cap, cpb), out_index,
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(
+        (f, geom.nyq, geom.n_chunks, geom.s_slots, geom.cw), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nw,),
@@ -155,19 +172,17 @@ def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(
-            (f, 1, 1, geom.cap, cpb), out_index,
-            memory_space=pltpu.VMEM),
+        out_specs=[out_spec, out_spec],
         scratch_shapes=[
             pltpu.VMEM((max_p, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ])
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_expand_kernel, s_blk, max_p, f, geom.cap, cpb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (f, geom.nyp, geom.n_chunks, geom.cap, geom.cw), jnp.float32),
+        out_shape=[out_shape, out_shape],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(starts, hole, rows)
+    return out[0], out[1]

@@ -1,46 +1,54 @@
 """Pallas TPU neighbor-sweep kernels — the hot path of the framework.
 
-Two fused Mosaic kernels over the stacked dense cell tables built by
-``planes.py``:
+Two fused Mosaic kernels over the class-split dense cell tables built
+by ``planes.py``:
 
 1. **density**      — poly6 pair sums (``shaders/SPHFluid.comp:89-106``)
 2. **force + xsph** — spiky-gradient pressure + viscosity Laplacian +
    color-field surface tension accumulators, fused with gravity
    assembly, semi-implicit Euler integration
-   (``SPHFluid.comp:109-171``) AND the XSPH smoothing sweep
-   (``SPHFluid.comp:177-201``).  XSPH is fusable because its semantics
-   are "fresh self pos/vel vs STALE neighbor pos/vel" (see
+   (``SPHFluid.comp:109-171``), the XSPH smoothing sweep
+   (``SPHFluid.comp:177-201``) AND the XSPH apply + CFL speed cap
+   (``SPHFluid.comp:200-207``).  XSPH fuses legally because its
+   semantics are "fresh self pos/vel vs STALE neighbor pos/vel" (see
    ``physics/brute_force.py:116``): the second sweep runs after the
    in-kernel integration against the same pre-move source rows already
    resident in VMEM.
 
 Kernel structure (both share it):
 
-- Tables are ``[F, nyp, n_chunks, K, CW]`` per particle family: y cell
-  rows with a +-1 sentinel halo, the (z, x) plane flattened to lanes
-  and chunked into disjoint ``CW``-lane windows, K cell slots on the
-  f32 sublane dim.
-- grid = ``(ny, n_chunks)``; each program DMAs the 3x3 neighboring
-  (y, chunk) blocks (chunk index clamped at the plane edges — the junk
-  lanes this injects are provably never read by real destination
-  cells, see ``_ext_rows``) and assembles halo-extended ``(K, CWH)``
-  source rows in VMEM.
-- The source-slot loop ``k2`` is a static unroll *inside* the kernel;
-  each iteration is wrapped in ``pl.when(k2 < occ)`` where ``occ`` is a
-  scalar-prefetched per-window bound on the max occupied slot over the
-  3 contributing y-rows' windows + halo lanes — compute scales with
-  real occupancy, and fully-empty chunks skip everything.  (Per-row
-  gating was measured SLOWER: it triples the conditional regions and
-  therefore the accumulator flush traffic through VMEM refs.)
-- Every neighbor-cell offset (dy, dz, dx) is a *static lane slice*
-  ``ext[k2, H + dz*nxp + dx : +CW]`` of the assembled rows, so the 27
+- Tables are ``[F, nyq, n_chunks, 2*cap, CW]`` per (family, rank
+  class): y row PAIRS on the second dim, the (z, x) plane flattened to
+  lanes and chunked into disjoint ``CW``-lane windows, and the slot
+  dim ``parity * cap + k`` packing BOTH rows of the pair — so a dest
+  tile is a full ``(2*cap, CW)`` VPU tile stack with HALF the dest
+  padding of a one-row-per-tile layout, and occupancy is gated PER
+  SOURCE ROW PER CLASS (4-bit fields of ``occ_rows``) instead of a
+  3-row max (PERF.md roadmap #1).
+- Rank class B (ranks ``[cap, 2*cap)``) is the SPILL class: its table
+  is almost everywhere empty, its sweeps and its dest section gate off
+  on per-row occupancy / dest bits, but crowded cells keep exact SPH
+  physics up to ``cell_capacity`` particles (closes VERDICT round-1
+  weak #5; the remainder is counted and asserted in bench.py).
+- grid = ``(nyq, n_chunks)``; each program DMAs the 3x3 neighboring
+  (pair, chunk) blocks of every source family (pair AND chunk indices
+  clamp at the plane edges — the junk this injects is provably never
+  read by real destination cells, see ``_ext_rows`` and the per-row
+  occupancy gates) and assembles halo-extended ``(2*cap, CWH)`` source
+  rows in VMEM.
+- A dest pair needs source rows ``2q-1 .. 2q+2``: 4 source rows ``j``,
+  each a parity half of a fetched pair view; rows ``2q-1`` / ``2q+2``
+  contribute only to the matching dest parity half (static sublane
+  masks).  The source-slot loop ``k2`` is a static unroll wrapped in
+  ``pl.when(k2 < occ[row, class])``.
+- Every neighbor-cell offset (dz, dx) is a *static lane slice*
+  ``ext[slot, H + dz*nxp + dx : +CW]`` of the assembled rows, so the
   sweeps compile to pure VPU code with zero gathers (the TPU-shaped
   replacement for the linked-list walks in ``SPHFluid.comp:92-103``).
-- Ghost boundary particles arrive in a SEPARATE static position-only
-  table: ghosts carry rho = rho0, pressure 0, velocity 0
+- Ghost boundary particles arrive in SEPARATE static position-only
+  tables: ghosts carry rho = rho0, pressure 0, velocity 0
   (``SPHFluid.comp:71-83``), so their sweep terms are constants-only
-  and their occupancy gates (``gocc``) are zero away from the walls —
-  wall shells no longer poison the fluid occupancy bound (PERF.md 1).
+  and their occupancy gates are zero away from the walls (PERF.md 1).
 - Empty slots and out-of-grid cells hold a far-away sentinel position,
   so the ``r^2 < h^2`` test removes them with no flag traffic.
 
@@ -50,7 +58,7 @@ oracle) and ``neighbors/binned.py``; see ``physics/common.py``.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Union
+from typing import NamedTuple, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +95,10 @@ _PV_LEN = 15
 # static empty tuple (pytree-stable across scan iterations)
 NO_GHOSTS = ()
 
+# source row j (= padded row 2q-1+j) -> fetched pair view / parity half
+_VIEW = (0, 1, 1, 2)
+_PAR = (1, 0, 1, 0)
+
 
 def _make_pvec(params: FluidParams, dt: jax.Array) -> jax.Array:
     h = params.h
@@ -103,58 +115,52 @@ def _make_pvec(params: FluidParams, dt: jax.Array) -> jax.Array:
 
 
 def _lane_offsets(geom: PL.PlaneGeom):
-    """(view, lane_offset, is_zero_offset) for the 27 neighbor cells."""
-    for v in range(3):
-        for dz in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                yield v, geom.halo + dz * geom.nxp + dx, (
-                    v == 1 and dz == 0 and dx == 0)
+    """(lane_offset, is_zero_offset) for the 9 (dz, dx) neighbor cells."""
+    for dz in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yield geom.halo + dz * geom.nxp + dx, (dz == 0 and dx == 0)
 
 
-def _gates(occ_ref, y, c):
-    """(fluid slot bound, center-row dest gate, ghost slot bound) from
-    the packed occupancy table (planes.py: bits0:5 fluid occ incl halo,
-    bit5 center-interior-holds-fluid, bits6:11 ghost occ incl halo)."""
-    rows = [occ_ref[y + v, c] for v in range(3)]
-    occ = jnp.maximum(jnp.maximum(rows[0] & PL.OCC_MASK,
-                                  rows[1] & PL.OCC_MASK),
-                      rows[2] & PL.OCC_MASK)
-    dest = (rows[1] >> PL.OCC_BITS) & 1
-    gocc = jnp.maximum(
-        jnp.maximum(rows[0] >> PL.GOCC_SHIFT, rows[1] >> PL.GOCC_SHIFT),
-        rows[2] >> PL.GOCC_SHIFT) & PL.OCC_MASK
-    return occ, dest, gocc
+def _row_occs(geom: PL.PlaneGeom, occ_ref, q, c):
+    """The 4 packed occupancy words for source rows 2q-1 .. 2q+2
+    (clamped; clamped rows are sentinel halo rows with zero counts)."""
+    top = geom.nyp_pad - 1
+    return [occ_ref[jnp.clip(2 * q - 1 + j, 0, top), c] for j in range(4)]
+
+
+def _dest_bits(occv, shift):
+    return ((occv[1] | occv[2]) >> shift) & 1
 
 
 def _tbl_spec(geom: PL.PlaneGeom, f: int, view: int, dc: int
               ) -> pl.BlockSpec:
-    """3x3 neighborhood block over a stacked table [F, nyp, nc, K, CW].
-    y is NOT clamped (tables carry real +-1 sentinel halo rows); the
-    chunk index is clamped at the plane edges — see ``_ext_rows`` for
-    why the junk lanes clamping injects are never read."""
+    """3x3 neighborhood block over a class table [F, nyq, nc, 2cap, CW].
+    BOTH the pair and chunk indices clamp at the plane edges; the junk
+    this injects is never read (clamped-pair source rows are gated off
+    by their real occupancy words, which live OUTSIDE the table and are
+    indexed by true row; clamped-chunk junk lanes are beyond every real
+    destination's reach, see ``_ext_rows``)."""
     nc = geom.n_chunks
+    nyq = geom.nyq
 
-    def imap(y, c, occ, pvec):
-        return (0, y + view, jnp.clip(c + dc, 0, nc - 1), 0, 0)
+    def imap(q, c, occ, pvec):
+        return (0, jnp.clip(q + view - 1, 0, nyq - 1),
+                jnp.clip(c + dc, 0, nc - 1), 0, 0)
 
-    return pl.BlockSpec((f, 1, 1, geom.cap, geom.cw), imap,
+    return pl.BlockSpec((f, 1, 1, geom.s_slots, geom.cw), imap,
                         memory_space=pltpu.VMEM)
 
 
 def _rho_spec(geom: PL.PlaneGeom, view: int, dc: int) -> pl.BlockSpec:
-    """3x3 block over the density *output* array [ny, nc, K, CW] (no y
-    halo rows): BOTH y and chunk indices clamp at the edges.  The junk
-    this injects at the y edges is multiplied by pairs whose POSITION
-    comes from the sentinel y-halo rows of the fluid table, so it never
-    contributes."""
+    """3x3 block over a density output array [nyq, nc, 2cap, CW]."""
     nc = geom.n_chunks
-    ny = geom.ny
+    nyq = geom.nyq
 
-    def imap(y, c, occ, pvec):
-        return (jnp.clip(y + view - 1, 0, ny - 1),
+    def imap(q, c, occ, pvec):
+        return (jnp.clip(q + view - 1, 0, nyq - 1),
                 jnp.clip(c + dc, 0, nc - 1), 0, 0)
 
-    return pl.BlockSpec((1, 1, geom.cap, geom.cw), imap,
+    return pl.BlockSpec((1, 1, geom.s_slots, geom.cw), imap,
                         memory_space=pltpu.VMEM)
 
 
@@ -165,8 +171,8 @@ def _nine(spec_fn, geom, *a):
 
 def _ext_rows(refs9: Sequence, geom: PL.PlaneGeom, lead: bool = True):
     """9 fetched blocks (view-major: [(v,c-1),(v,c),(v,c+1)] x 3) ->
-    3 halo-extended source-row stacks [F, K, CWH] (or [K, CWH] when
-    ``lead`` is False for the rho blocks).
+    3 halo-extended source-row stacks [F, 2cap, CWH] (or [2cap, CWH]
+    when ``lead`` is False for the rho blocks).
 
     Chunk-edge safety: at c = 0 the clamped "left" block duplicates the
     center chunk, so its tail lanes are junk in the assembled ltail —
@@ -190,23 +196,65 @@ def _ext_rows(refs9: Sequence, geom: PL.PlaneGeom, lead: bool = True):
     return outs
 
 
-def _self_mask(k2: int, geom: PL.PlaneGeom):
-    return lax.broadcasted_iota(jnp.int32, (geom.cap, geom.cw), 0) == k2
+class _Fam(NamedTuple):
+    """A source family for the sweep loops."""
+    ext: Sequence          # 3 views of [F, 2cap, CWH]
+    occ_shift: int         # occupancy field position in the occ words
+    ghost: bool
+    is_self: bool          # self-exclusion family (the dest class)
+    spres: Optional[Sequence] = None     # force only: 3 x [2cap, CWH]
+    sminv: Optional[Sequence] = None     # force only: 3 x [2cap, CWH]
 
 
 def _grid_spec(geom: PL.PlaneGeom, in_specs, out_specs, scratch=()):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(geom.ny, geom.n_chunks),
+        grid=(geom.nyq, geom.n_chunks),
         in_specs=list(in_specs),
         out_specs=out_specs,
         scratch_shapes=list(scratch))
 
 
-# The unrolled slot x 27-offset pair loops carry wide temporaries;
-# raise the default 16 MiB scoped-VMEM ceiling so the compiler can keep
-# them resident instead of failing (v5e has 128 MiB VMEM per core).
+# The unrolled slot x offset pair loops carry wide temporaries; raise
+# the default 16 MiB scoped-VMEM ceiling so the compiler can keep them
+# resident instead of failing (v5e has 128 MiB VMEM per core).
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _half_mask(geom: PL.PlaneGeom, j: int):
+    """Dest-parity validity mask for source row j: rows 2q-1 / 2q+2 are
+    out of y range for one of the pair's rows."""
+    iota = lax.broadcasted_iota(jnp.int32, (geom.s_slots, geom.cw), 0)
+    if j == 0:
+        return iota < geom.cap           # only dest row 2q (parity 0)
+    if j == 3:
+        return iota >= geom.cap          # only dest row 2q+1 (parity 1)
+    return None
+
+
+def _self_mask(geom: PL.PlaneGeom, sj: int):
+    return lax.broadcasted_iota(
+        jnp.int32, (geom.s_slots, geom.cw), 0) == sj
+
+
+def _sweep(geom: PL.PlaneGeom, fams, occv, cap: int, accum):
+    """Run ``accum(fam, k2)`` for every potentially occupied (family,
+    slot), wrapped in ``pl.when(k2 < max-over-the-4-source-rows occ)``.
+
+    The gate is deliberately COARSE (one region per (family, slot), the
+    4-row loop runs inside it): per-(row, slot) gating was measured
+    slower — it multiplies the conditional regions and therefore the
+    accumulator flush traffic through VMEM refs (PERF.md finding 2;
+    re-confirmed round 2: per-row regions cost 57 ms vs 27 ms at
+    131k)."""
+    for fam in fams:
+        occs = [(ov >> fam.occ_shift) & PL.OCC_MASK for ov in occv]
+        occ4 = jnp.maximum(jnp.maximum(occs[0], occs[1]),
+                           jnp.maximum(occs[2], occs[3]))
+        for k2 in range(cap):
+            @pl.when(k2 < occ4)
+            def _(fam=fam, k2=k2):
+                accum(fam, k2)
 
 
 # ---------------------------------------------------------------------------
@@ -215,91 +263,120 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 def _density_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
                     occ_ref, pvec_ref, *refs):
-    f9 = refs[0:9]
-    g9 = refs[9:18] if has_ghosts else None
-    rho_ref = refs[-1]
-    y = pl.program_id(0)
+    fa9 = refs[0:9]
+    fb9 = refs[9:18]
+    ga9 = refs[18:27] if has_ghosts else None
+    gb9 = refs[27:36] if has_ghosts else None
+    rho_a_ref = refs[-2]
+    rho_b_ref = refs[-1]
+    q = pl.program_id(0)
     c = pl.program_id(1)
-    occ, dest, gocc = _gates(occ_ref, y, c)
+    occv = _row_occs(geom, occ_ref, q, c)
+    dest_a = _dest_bits(occv, PL.DEST_A_SHIFT)
+    dest_b = _dest_bits(occv, PL.DEST_B_SHIFT)
     h2 = pvec_ref[_PV_H2]
     cw = geom.cw
-    kk = geom.cap
+    cap = geom.cap
+    ss = geom.s_slots
 
-    rho_ref[...] = jnp.full(rho_ref.shape, pvec_ref[_PV_RHO_FLOOR],
-                            jnp.float32)
+    floor = jnp.full((1, 1, ss, cw), pvec_ref[_PV_RHO_FLOOR], jnp.float32)
+    rho_a_ref[...] = floor
+    rho_b_ref[...] = floor
 
-    @pl.when(dest > 0)
+    @pl.when((dest_a | dest_b) > 0)
     def _():
-        ext = _ext_rows(f9, geom)                   # 3 x [6, K, CWH]
-        ctr = f9[4][:, 0, 0]                        # [6, K, CW]
-        cx, cy, cz = ctr[0], ctr[1], ctr[2]
-        rho_ref[0, 0] = jnp.zeros((kk, cw), jnp.float32)
-
-        def sweep(k2, rows3):
-            acc = jnp.zeros((kk, cw), jnp.float32)
-            for v, off, _ in _lane_offsets(geom):
-                ddx = cx - rows3[v][0, k2, off:off + cw]
-                ddy = cy - rows3[v][1, k2, off:off + cw]
-                ddz = cz - rows3[v][2, k2, off:off + cw]
-                r2 = ddx * ddx + ddy * ddy + ddz * ddz
-                d = jnp.maximum(h2 - r2, 0.0)
-                acc = acc + d * d * d
-            rho_ref[0, 0] += acc
-
-        # self-pairs are *included*, as in the GLSL density loop
-        # (SPHFluid.comp:89-106 has no j != i check)
-        for k2 in range(kk):
-            @pl.when(k2 < occ)
-            def _(k2=k2):
-                sweep(k2, ext)
+        fams = [
+            _Fam(_ext_rows(fa9, geom), 0, False, False),
+            _Fam(_ext_rows(fb9, geom), PL.OCC_B_SHIFT, False, False),
+        ]
         if has_ghosts:
-            gext = _ext_rows(g9, geom)              # 3 x [3, K, CWH]
-            for k2 in range(kk):
-                @pl.when(k2 < gocc)
-                def _(k2=k2):
-                    sweep(k2, gext)
+            fams.append(_Fam(_ext_rows(ga9, geom), PL.GOCC_SHIFT,
+                             True, False))
+            fams.append(_Fam(_ext_rows(gb9, geom), PL.GOCC_SHIFT + 4,
+                             True, False))
 
-        # pointwise finish: mass*poly6 scale + floor (SPHFluid.comp:105)
-        raw = rho_ref[0, 0]
-        scale = pvec_ref[_PV_MASS] * pvec_ref[_PV_POLY6]
-        rho_ref[0, 0] = jnp.maximum(raw * scale, pvec_ref[_PV_RHO_FLOOR])
+        def section(dest_bit, ctr_blocks, out_ref):
+            @pl.when(dest_bit > 0)
+            def _():
+                ctr = ctr_blocks[4][:, 0, 0]            # [6, 2cap, CW]
+                cx, cy, cz = ctr[0], ctr[1], ctr[2]
+                out_ref[0, 0] = jnp.zeros((ss, cw), jnp.float32)
+
+                def accum(fam, k2):
+                    acc = jnp.zeros((ss, cw), jnp.float32)
+                    for j in range(4):
+                        rows = fam.ext[_VIEW[j]]
+                        sj = _PAR[j] * cap + k2
+                        hmask = _half_mask(geom, j)
+                        part = jnp.zeros((ss, cw), jnp.float32)
+                        for off, _zero in _lane_offsets(geom):
+                            ddx = cx - rows[0, sj, off:off + cw]
+                            ddy = cy - rows[1, sj, off:off + cw]
+                            ddz = cz - rows[2, sj, off:off + cw]
+                            r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                            d = jnp.maximum(h2 - r2, 0.0)
+                            part = part + d * d * d
+                        if hmask is not None:
+                            part = jnp.where(hmask, part, 0.0)
+                        acc = acc + part
+                    out_ref[0, 0] += acc
+
+                # self-pairs are *included*, as in the GLSL density loop
+                # (SPHFluid.comp:89-106 has no j != i check)
+                _sweep(geom, fams, occv, cap, accum)
+
+                # pointwise finish: mass*poly6 + floor (SPHFluid.comp:105)
+                raw = out_ref[0, 0]
+                scale = pvec_ref[_PV_MASS] * pvec_ref[_PV_POLY6]
+                out_ref[0, 0] = jnp.maximum(raw * scale,
+                                            pvec_ref[_PV_RHO_FLOOR])
+
+        section(dest_a, fa9, rho_a_ref)
+        section(dest_b, fb9, rho_b_ref)
 
 
 def density_call(ft: PL.FluidTables, occ_rows: jax.Array,
                  gt, pvec: jax.Array, geom: PL.PlaneGeom,
-                 interpret: bool) -> jax.Array:
-    """FINAL per-slot fluid density (floored): [ny, nc, K, CW]."""
+                 interpret: bool):
+    """FINAL per-slot fluid density (floored) for both rank classes:
+    two [nyq, nc, 2cap, CW] arrays."""
     has_ghosts = gt is not None
-    in_specs = _nine(_tbl_spec, geom, 6)
-    args = [ft.tbl] * 9
+    in_specs = _nine(_tbl_spec, geom, 6) * 2
+    args = [ft.tbl_a] * 9 + [ft.tbl_b] * 9
     if has_ghosts:
-        in_specs += _nine(_tbl_spec, geom, 3)
-        args += [gt.tbl] * 9
-    return pl.pallas_call(
+        in_specs += _nine(_tbl_spec, geom, 3) * 2
+        args += [gt.tbl_a] * 9 + [gt.tbl_b] * 9
+    out = pl.pallas_call(
         functools.partial(_density_kernel, geom, has_ghosts),
-        grid_spec=_grid_spec(geom, in_specs, _out_spec(geom, 1)),
-        out_shape=_out_shape(geom, 1),
+        grid_spec=_grid_spec(geom, in_specs,
+                             [_rho_out_spec(geom), _rho_out_spec(geom)]),
+        out_shape=[_rho_shape(geom), _rho_shape(geom)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(occ_rows, pvec, *args)
+    return out[0], out[1]
+
+
+def _rho_out_spec(geom: PL.PlaneGeom) -> pl.BlockSpec:
+    return pl.BlockSpec((1, 1, geom.s_slots, geom.cw),
+                        lambda q, c, occ, pvec: (q, c, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rho_shape(geom: PL.PlaneGeom):
+    return jax.ShapeDtypeStruct(
+        (geom.nyq, geom.n_chunks, geom.s_slots, geom.cw), jnp.float32)
 
 
 def _out_spec(geom: PL.PlaneGeom, f: int) -> pl.BlockSpec:
-    if f == 1:
-        return pl.BlockSpec((1, 1, geom.cap, geom.cw),
-                            lambda y, c, occ, pvec: (y, c, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((f, 1, 1, geom.cap, geom.cw),
-                        lambda y, c, occ, pvec: (0, y, c, 0, 0),
+    return pl.BlockSpec((f, 1, 1, geom.s_slots, geom.cw),
+                        lambda q, c, occ, pvec: (0, q, c, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _out_shape(geom: PL.PlaneGeom, f: int):
-    if f == 1:
-        return jax.ShapeDtypeStruct(
-            (geom.ny, geom.n_chunks, geom.cap, geom.cw), jnp.float32)
     return jax.ShapeDtypeStruct(
-        (f, geom.ny, geom.n_chunks, geom.cap, geom.cw), jnp.float32)
+        (f, geom.nyq, geom.n_chunks, geom.s_slots, geom.cw), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -308,16 +385,23 @@ def _out_shape(geom: PL.PlaneGeom, f: int):
 
 def _force_xsph_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
                        occ_ref, pvec_ref, *refs):
-    f9 = refs[0:9]
-    rho9 = refs[9:18]
-    g9 = refs[18:27] if has_ghosts else None
-    out_ref = refs[-2]
+    fa9 = refs[0:9]
+    fb9 = refs[9:18]
+    ra9 = refs[18:27]
+    rb9 = refs[27:36]
+    ga9 = refs[36:45] if has_ghosts else None
+    gb9 = refs[45:54] if has_ghosts else None
+    out_a_ref = refs[-3]
+    out_b_ref = refs[-2]
     acc_ref = refs[-1]
-    y = pl.program_id(0)
+    q = pl.program_id(0)
     c = pl.program_id(1)
-    occ, dest, gocc = _gates(occ_ref, y, c)
+    occv = _row_occs(geom, occ_ref, q, c)
+    dest_a = _dest_bits(occv, PL.DEST_A_SHIFT)
+    dest_b = _dest_bits(occv, PL.DEST_B_SHIFT)
     cw = geom.cw
-    kk = geom.cap
+    cap = geom.cap
+    ss = geom.s_slots
     h = pvec_ref[_PV_H]
     h2 = pvec_ref[_PV_H2]
     mass = pvec_ref[_PV_MASS]
@@ -327,196 +411,251 @@ def _force_xsph_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
     mu = pvec_ref[_PV_MU]
     rho0 = pvec_ref[_PV_RHO0]
     gas_k = pvec_ref[_PV_GASK]
+    dt = pvec_ref[_PV_DT]
 
-    out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+    out_a_ref[...] = jnp.zeros(out_a_ref.shape, jnp.float32)
+    out_b_ref[...] = jnp.zeros(out_b_ref.shape, jnp.float32)
 
-    @pl.when(dest > 0)
+    @pl.when((dest_a | dest_b) > 0)
     def _():
-        ext = _ext_rows(f9, geom)                   # 3 x [6, K, CWH]
-        rhov = _ext_rows(rho9, geom, lead=False)    # 3 x [K, CWH]
-        # pressure from EOS in-kernel (SPHFluid.comp:109-111)
-        spresv = [jnp.maximum(gas_k * (r - rho0), 0.0) for r in rhov]
-        # hoisted per-src-element mass/rho (one divide per row instead
-        # of one per (row, offset) pair)
-        sminvv = [mass / jnp.maximum(r, 1e-12) for r in rhov]
         gminv = mass / jnp.maximum(rho0, 1e-12)     # ghost: rho == rho0
 
-        ctr = f9[4][:, 0, 0]
-        cx, cy, cz = ctr[0], ctr[1], ctr[2]
-        cvx, cvy, cvz = ctr[3], ctr[4], ctr[5]
-        crho = rho9[4][0, 0]
-        cpres = jnp.maximum(gas_k * (crho - rho0), 0.0)
+        def fluid_fam(f9, r9, shift):
+            # hoisted per-source-row pressure and mass/rho (one divide
+            # per row instead of one per (row, offset) pair); EOS
+            # in-kernel (SPHFluid.comp:109-111)
+            rho_ext = _ext_rows(r9, geom, lead=False)
+            return _Fam(
+                _ext_rows(f9, geom), shift, False, False,
+                spres=[jnp.maximum(gas_k * (r - rho0), 0.0)
+                       for r in rho_ext],
+                sminv=[mass / jnp.maximum(r, 1e-12) for r in rho_ext])
 
-        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
-
-        def force_sweep(k2, rows3, ghost: bool):
-            self_row = None if ghost else _self_mask(k2, geom)
-            fx = jnp.zeros((kk, cw), jnp.float32)
-            fy = jnp.zeros((kk, cw), jnp.float32)
-            fz = jnp.zeros((kk, cw), jnp.float32)
-            gcx = jnp.zeros((kk, cw), jnp.float32)
-            gcy = jnp.zeros((kk, cw), jnp.float32)
-            gcz = jnp.zeros((kk, cw), jnp.float32)
-            lc = jnp.zeros((kk, cw), jnp.float32)
-            for v, off, zero_off in _lane_offsets(geom):
-                ddx = cx - rows3[v][0, k2, off:off + cw]
-                ddy = cy - rows3[v][1, k2, off:off + cw]
-                ddz = cz - rows3[v][2, k2, off:off + cw]
-                r2 = ddx * ddx + ddy * ddy + ddz * ddz
-                # one rsqrt replaces sqrt + the 1/r divide
-                rinv = lax.rsqrt(jnp.maximum(r2, 1e-24))
-                r = r2 * rinv
-                inside = r < h
-                if zero_off and not ghost:
-                    inside = inside & ~self_row
-                if ghost:
-                    spres = 0.0
-                    mw = jnp.where(inside, gminv, 0.0)
-                else:
-                    spres = spresv[v][k2, off:off + cw]
-                    mw = jnp.where(inside, sminvv[v][k2, off:off + cw],
-                                   0.0)
-                dcl = jnp.maximum(h - r, 0.0)
-                gmag = jnp.where(r2 > 0.0,
-                                 spiky_c * dcl * dcl * rinv, 0.0)
-                lapw = visc_lap_c * dcl
-                pscale = -(cpres + spres) * 0.5 * mw * gmag
-                vscale = mw * lapw * mu
-                if ghost:
-                    # ghost velocity is exactly 0 (SPHFluid.comp:71-83)
-                    fx = fx + pscale * ddx - vscale * cvx
-                    fy = fy + pscale * ddy - vscale * cvy
-                    fz = fz + pscale * ddz - vscale * cvz
-                else:
-                    fx = fx + pscale * ddx \
-                        + vscale * (rows3[v][3, k2, off:off + cw] - cvx)
-                    fy = fy + pscale * ddy \
-                        + vscale * (rows3[v][4, k2, off:off + cw] - cvy)
-                    fz = fz + pscale * ddz \
-                        + vscale * (rows3[v][5, k2, off:off + cw] - cvz)
-                gscale = mw * gmag
-                gcx = gcx + gscale * ddx
-                gcy = gcy + gscale * ddy
-                gcz = gcz + gscale * ddz
-                lc = lc + mw * lapw
-            acc_ref[0] += fx
-            acc_ref[1] += fy
-            acc_ref[2] += fz
-            acc_ref[3] += gcx
-            acc_ref[4] += gcy
-            acc_ref[5] += gcz
-            acc_ref[6] += lc
-
-        for k2 in range(kk):
-            @pl.when(k2 < occ)
-            def _(k2=k2):
-                force_sweep(k2, ext, ghost=False)
+        fam_a = fluid_fam(fa9, ra9, 0)
+        fam_b = fluid_fam(fb9, rb9, PL.OCC_B_SHIFT)
+        fams = [fam_a, fam_b]
         if has_ghosts:
-            gext = _ext_rows(g9, geom)
-            for k2 in range(kk):
-                @pl.when(k2 < gocc)
-                def _(k2=k2):
-                    force_sweep(k2, gext, ghost=True)
+            fams.append(_Fam(_ext_rows(ga9, geom), PL.GOCC_SHIFT,
+                             True, False))
+            fams.append(_Fam(_ext_rows(gb9, geom), PL.GOCC_SHIFT + 4,
+                             True, False))
 
-        # surface tension + gravity + integrate (SPHFluid.comp:156-171)
-        st = pvec_ref[_PV_ST]
-        dt = pvec_ref[_PV_DT]
-        fx, fy, fz = acc_ref[0], acc_ref[1], acc_ref[2]
-        gcx, gcy, gcz = acc_ref[3], acc_ref[4], acc_ref[5]
-        lc = acc_ref[6]
-        glen = jnp.sqrt(gcx * gcx + gcy * gcy + gcz * gcz)
-        stm = jnp.where(glen > C.SURFACE_THRESHOLD,
-                        -st * lc / jnp.maximum(glen, 1e-30), 0.0)
-        rho_safe = jnp.maximum(crho, 1e-12)
-        ax = (fx + stm * gcx + pvec_ref[_PV_GX] * crho) / rho_safe
-        ay = (fy + stm * gcy + pvec_ref[_PV_GY] * crho) / rho_safe
-        az = (fz + stm * gcz + pvec_ref[_PV_GZ] * crho) / rho_safe
-        nvx = (cvx + ax * dt) * C.VELOCITY_DAMPING
-        nvy = (cvy + ay * dt) * C.VELOCITY_DAMPING
-        nvz = (cvz + az * dt) * C.VELOCITY_DAMPING
-        npx = cx + nvx * dt
-        npy = cy + nvy * dt
-        npz = cz + nvz * dt
-        out_ref[0, 0, 0] = npx
-        out_ref[1, 0, 0] = npy
-        out_ref[2, 0, 0] = npz
-        out_ref[3, 0, 0] = nvx
-        out_ref[4, 0, 0] = nvy
-        out_ref[5, 0, 0] = nvz
-        out_ref[6, 0, 0] = ax
-        out_ref[7, 0, 0] = ay
-        out_ref[8, 0, 0] = az
+        def section(dest_bit, self_fam, ctr_blocks, rho_blocks, out_ref):
+            @pl.when(dest_bit > 0)
+            def _():
+                ctr = ctr_blocks[4][:, 0, 0]            # [6, 2cap, CW]
+                cx, cy, cz = ctr[0], ctr[1], ctr[2]
+                cvx, cvy, cvz = ctr[3], ctr[4], ctr[5]
+                crho = rho_blocks[4][0, 0]
+                cpres = jnp.maximum(gas_k * (crho - rho0), 0.0)
 
-        # --- xsph: fresh self pos/vel vs stale neighbor rows (still in
-        # VMEM) — SPHFluid.comp:177-201 / brute_force.xsph_pass ---
-        def xsph_sweep(k2, rows3, ghost: bool):
-            self_row = None if ghost else _self_mask(k2, geom)
-            xx = jnp.zeros((kk, cw), jnp.float32)
-            xy = jnp.zeros((kk, cw), jnp.float32)
-            xz = jnp.zeros((kk, cw), jnp.float32)
-            xn = jnp.zeros((kk, cw), jnp.float32)
-            for v, off, zero_off in _lane_offsets(geom):
-                ddx = npx - rows3[v][0, k2, off:off + cw]
-                ddy = npy - rows3[v][1, k2, off:off + cw]
-                ddz = npz - rows3[v][2, k2, off:off + cw]
-                r2 = ddx * ddx + ddy * ddy + ddz * ddz
-                inside = r2 < h2
-                if zero_off and not ghost:
-                    inside = inside & ~self_row
-                d = jnp.maximum(h2 - r2, 0.0)
-                w = jnp.where(inside, poly6_c * d * d * d, 0.0)
-                if ghost:
-                    mw = w * gminv
-                    xx = xx - mw * nvx
-                    xy = xy - mw * nvy
-                    xz = xz - mw * nvz
-                else:
-                    mw = w * sminvv[v][k2, off:off + cw]
-                    xx = xx + mw * (rows3[v][3, k2, off:off + cw] - nvx)
-                    xy = xy + mw * (rows3[v][4, k2, off:off + cw] - nvy)
-                    xz = xz + mw * (rows3[v][5, k2, off:off + cw] - nvz)
-                xn = xn + w
-            acc_ref[7] += xx
-            acc_ref[8] += xy
-            acc_ref[9] += xz
-            acc_ref[10] += xn
+                acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-        for k2 in range(kk):
-            @pl.when(k2 < occ)
-            def _(k2=k2):
-                xsph_sweep(k2, ext, ghost=False)
-        if has_ghosts:
-            for k2 in range(kk):
-                @pl.when(k2 < gocc)
-                def _(k2=k2):
-                    xsph_sweep(k2, gext, ghost=True)
+                def force_accum(fam, k2):
+                    fx = jnp.zeros((ss, cw), jnp.float32)
+                    fy = jnp.zeros((ss, cw), jnp.float32)
+                    fz = jnp.zeros((ss, cw), jnp.float32)
+                    gcx = jnp.zeros((ss, cw), jnp.float32)
+                    gcy = jnp.zeros((ss, cw), jnp.float32)
+                    gcz = jnp.zeros((ss, cw), jnp.float32)
+                    lc = jnp.zeros((ss, cw), jnp.float32)
+                    for j in range(4):
+                        rows = fam.ext[_VIEW[j]]
+                        sj = _PAR[j] * cap + k2
+                        hmask = _half_mask(geom, j)
+                        selfable = fam.is_self and j in (1, 2)
+                        smask = (_self_mask(geom, sj) if selfable
+                                 else None)
+                        for off, zero_off in _lane_offsets(geom):
+                            ddx = cx - rows[0, sj, off:off + cw]
+                            ddy = cy - rows[1, sj, off:off + cw]
+                            ddz = cz - rows[2, sj, off:off + cw]
+                            r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                            # one rsqrt replaces sqrt + the 1/r divide
+                            rinv = lax.rsqrt(jnp.maximum(r2, 1e-24))
+                            r = r2 * rinv
+                            inside = r < h
+                            if zero_off and smask is not None:
+                                inside = inside & ~smask
+                            if hmask is not None:
+                                inside = inside & hmask
+                            if fam.ghost:
+                                sp = 0.0
+                                mw = jnp.where(inside, gminv, 0.0)
+                            else:
+                                sp = fam.spres[_VIEW[j]][sj,
+                                                         off:off + cw]
+                                mw = jnp.where(
+                                    inside,
+                                    fam.sminv[_VIEW[j]][sj,
+                                                        off:off + cw],
+                                    0.0)
+                            dcl = jnp.maximum(h - r, 0.0)
+                            gmag = jnp.where(
+                                r2 > 0.0, spiky_c * dcl * dcl * rinv,
+                                0.0)
+                            lapw = visc_lap_c * dcl
+                            pscale = -(cpres + sp) * 0.5 * mw * gmag
+                            vscale = mw * lapw * mu
+                            if fam.ghost:
+                                # ghost velocity is exactly 0
+                                # (SPHFluid.comp:71-83)
+                                fx = fx + pscale * ddx - vscale * cvx
+                                fy = fy + pscale * ddy - vscale * cvy
+                                fz = fz + pscale * ddz - vscale * cvz
+                            else:
+                                fx = fx + pscale * ddx + vscale * (
+                                    rows[3, sj, off:off + cw] - cvx)
+                                fy = fy + pscale * ddy + vscale * (
+                                    rows[4, sj, off:off + cw] - cvy)
+                                fz = fz + pscale * ddz + vscale * (
+                                    rows[5, sj, off:off + cw] - cvz)
+                            gscale = mw * gmag
+                            gcx = gcx + gscale * ddx
+                            gcy = gcy + gscale * ddy
+                            gcz = gcz + gscale * ddz
+                            lc = lc + mw * lapw
+                    acc_ref[0] += fx
+                    acc_ref[1] += fy
+                    acc_ref[2] += fz
+                    acc_ref[3] += gcx
+                    acc_ref[4] += gcy
+                    acc_ref[5] += gcz
+                    acc_ref[6] += lc
 
-        out_ref[9, 0, 0] = acc_ref[7]
-        out_ref[10, 0, 0] = acc_ref[8]
-        out_ref[11, 0, 0] = acc_ref[9]
-        out_ref[12, 0, 0] = acc_ref[10]
+                _sweep(geom, _mark_self(fams, self_fam), occv, cap,
+                       force_accum)
+
+                # surface tension + gravity + integrate
+                # (SPHFluid.comp:156-171)
+                st = pvec_ref[_PV_ST]
+                fx, fy, fz = acc_ref[0], acc_ref[1], acc_ref[2]
+                gcx, gcy, gcz = acc_ref[3], acc_ref[4], acc_ref[5]
+                lc = acc_ref[6]
+                glen = jnp.sqrt(gcx * gcx + gcy * gcy + gcz * gcz)
+                stm = jnp.where(glen > C.SURFACE_THRESHOLD,
+                                -st * lc / jnp.maximum(glen, 1e-30), 0.0)
+                rho_safe = jnp.maximum(crho, 1e-12)
+                ax = (fx + stm * gcx + pvec_ref[_PV_GX] * crho) / rho_safe
+                ay = (fy + stm * gcy + pvec_ref[_PV_GY] * crho) / rho_safe
+                az = (fz + stm * gcz + pvec_ref[_PV_GZ] * crho) / rho_safe
+                nvx = (cvx + ax * dt) * C.VELOCITY_DAMPING
+                nvy = (cvy + ay * dt) * C.VELOCITY_DAMPING
+                nvz = (cvz + az * dt) * C.VELOCITY_DAMPING
+                npx = cx + nvx * dt
+                npy = cy + nvy * dt
+                npz = cz + nvz * dt
+
+                # --- xsph: fresh self pos/vel vs stale neighbor rows
+                # (still in VMEM) — SPHFluid.comp:177-201 /
+                # brute_force.xsph_pass ---
+                def xsph_accum(fam, k2):
+                    xx = jnp.zeros((ss, cw), jnp.float32)
+                    xy = jnp.zeros((ss, cw), jnp.float32)
+                    xz = jnp.zeros((ss, cw), jnp.float32)
+                    xn = jnp.zeros((ss, cw), jnp.float32)
+                    for j in range(4):
+                        rows = fam.ext[_VIEW[j]]
+                        sj = _PAR[j] * cap + k2
+                        hmask = _half_mask(geom, j)
+                        selfable = fam.is_self and j in (1, 2)
+                        smask = (_self_mask(geom, sj) if selfable
+                                 else None)
+                        for off, zero_off in _lane_offsets(geom):
+                            ddx = npx - rows[0, sj, off:off + cw]
+                            ddy = npy - rows[1, sj, off:off + cw]
+                            ddz = npz - rows[2, sj, off:off + cw]
+                            r2 = ddx * ddx + ddy * ddy + ddz * ddz
+                            inside = r2 < h2
+                            if zero_off and smask is not None:
+                                inside = inside & ~smask
+                            if hmask is not None:
+                                inside = inside & hmask
+                            d = jnp.maximum(h2 - r2, 0.0)
+                            w = jnp.where(inside, poly6_c * d * d * d,
+                                          0.0)
+                            if fam.ghost:
+                                mw = w * gminv
+                                xx = xx - mw * nvx
+                                xy = xy - mw * nvy
+                                xz = xz - mw * nvz
+                            else:
+                                mw = w * fam.sminv[_VIEW[j]][sj,
+                                                             off:off + cw]
+                                xx = xx + mw * (
+                                    rows[3, sj, off:off + cw] - nvx)
+                                xy = xy + mw * (
+                                    rows[4, sj, off:off + cw] - nvy)
+                                xz = xz + mw * (
+                                    rows[5, sj, off:off + cw] - nvz)
+                            xn = xn + w
+                    acc_ref[7] += xx
+                    acc_ref[8] += xy
+                    acc_ref[9] += xz
+                    acc_ref[10] += xn
+
+                _sweep(geom, _mark_self(fams, self_fam), occv, cap,
+                       xsph_accum)
+
+                # xsph apply (SPHFluid.comp:200-201) + CFL speed cap
+                # (SPHFluid.comp:203-207) in-kernel
+                xn = acc_ref[10]
+                inv = jnp.where(xn > 0.0,
+                                C.XSPH_COEFF / jnp.maximum(xn, 1e-30),
+                                0.0)
+                vx = nvx + inv * acc_ref[7]
+                vy = nvy + inv * acc_ref[8]
+                vz = nvz + inv * acc_ref[9]
+                max_speed = C.CFL_FRACTION * h / jnp.maximum(dt, 1e-6)
+                sp2 = vx * vx + vy * vy + vz * vz
+                spd = jnp.sqrt(sp2)
+                vscl = jnp.where(spd > max_speed,
+                                 max_speed / jnp.maximum(spd, 1e-30),
+                                 1.0)
+                out_ref[0, 0, 0] = npx
+                out_ref[1, 0, 0] = npy
+                out_ref[2, 0, 0] = npz
+                out_ref[3, 0, 0] = vx * vscl
+                out_ref[4, 0, 0] = vy * vscl
+                out_ref[5, 0, 0] = vz * vscl
+                out_ref[6, 0, 0] = ax
+                out_ref[7, 0, 0] = ay
+                out_ref[8, 0, 0] = az
+
+        section(dest_a, fam_a, fa9, ra9, out_a_ref)
+        section(dest_b, fam_b, fb9, rb9, out_b_ref)
+
+
+def _mark_self(fams, self_fam):
+    """Tag the dest class's family for self-pair exclusion."""
+    return [f._replace(is_self=(f is self_fam)) if not f.ghost else f
+            for f in fams]
 
 
 def force_xsph_call(ft: PL.FluidTables, occ_rows: jax.Array,
-                    rho_out: jax.Array, gt, pvec: jax.Array,
-                    geom: PL.PlaneGeom, interpret: bool) -> jax.Array:
-    """[13, ny, nc, K, CW]: npx npy npz nvx nvy nvz ax ay az xs0 xs1
-    xs2 xnorm."""
+                    rho_a: jax.Array, rho_b: jax.Array, gt,
+                    pvec: jax.Array, geom: PL.PlaneGeom,
+                    interpret: bool):
+    """Two [9, nyq, nc, 2cap, CW] outputs (classes A, B): npx npy npz
+    vx vy vz (final: xsph-applied + speed-capped) ax ay az."""
     has_ghosts = gt is not None
-    in_specs = _nine(_tbl_spec, geom, 6) + _nine(_rho_spec, geom)
-    args = [ft.tbl] * 9 + [rho_out] * 9
+    in_specs = _nine(_tbl_spec, geom, 6) * 2 + _nine(_rho_spec, geom) * 2
+    args = ([ft.tbl_a] * 9 + [ft.tbl_b] * 9
+            + [rho_a] * 9 + [rho_b] * 9)
     if has_ghosts:
-        in_specs += _nine(_tbl_spec, geom, 3)
-        args += [gt.tbl] * 9
-    return pl.pallas_call(
+        in_specs += _nine(_tbl_spec, geom, 3) * 2
+        args += [gt.tbl_a] * 9 + [gt.tbl_b] * 9
+    out = pl.pallas_call(
         functools.partial(_force_xsph_kernel, geom, has_ghosts),
         grid_spec=_grid_spec(
-            geom, in_specs, _out_spec(geom, 13),
-            scratch=[pltpu.VMEM((11, geom.cap, geom.cw), jnp.float32)]),
-        out_shape=_out_shape(geom, 13),
+            geom, in_specs, [_out_spec(geom, 9), _out_spec(geom, 9)],
+            scratch=[pltpu.VMEM((11, geom.s_slots, geom.cw),
+                                jnp.float32)]),
+        out_shape=[_out_shape(geom, 9), _out_shape(geom, 9)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(occ_rows, pvec, *args)
+    return out[0], out[1]
 
 
 # ---------------------------------------------------------------------------
@@ -576,29 +715,24 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
         ft.occ_rows | (gt.occ << PL.GOCC_SHIFT))
     pvec = _make_pvec(params, dt)
 
-    rho_out = density_call(ft, occ_rows, gt, pvec, geom, interpret)
-    f13 = force_xsph_call(ft, occ_rows, rho_out, gt, pvec, geom,
-                          interpret)
+    rho_a, rho_b = density_call(ft, occ_rows, gt, pvec, geom, interpret)
+    out_a, out_b = force_xsph_call(ft, occ_rows, rho_a, rho_b, gt, pvec,
+                                   geom, interpret)
 
     # --- one row gather back to (sorted) particle order ---
-    # (measured at 1M, see PERF.md 10: XLA row gather 46.5 ms beats
-    # every MXU one-hot / transposed / monotone-index variant tried)
-    stacked = jnp.concatenate([f13, rho_out[None]], axis=0)
-    per = stacked.reshape(14, -1).T[PL.out_flat_index(s, geom)]  # [N, 14]
+    # (measured at 1M, see PERF.md 10: XLA row gather beats every MXU
+    # one-hot / transposed / monotone-index variant tried)
+    sa = jnp.concatenate([out_a, rho_a[None]], axis=0).reshape(10, -1)
+    sb = jnp.concatenate([out_b, rho_b[None]], axis=0).reshape(10, -1)
+    per = jnp.concatenate([sa, sb], axis=1).T[
+        PL.out_flat_index(s, geom)]                           # [N, 10]
 
     new_pos = per[:, 0:3]
-    nvel = per[:, 3:6]
+    new_vel = per[:, 3:6]       # xsph + speed cap applied in-kernel
     new_acc = per[:, 6:9]
-    xsum = per[:, 9:12]
-    xnorm = per[:, 12]
-    new_rho = per[:, 13]
+    new_rho = per[:, 9]
     new_pres = jnp.maximum(
         params.gas_constant * (new_rho - params.rest_density), 0.0)
-
-    # XSPH apply + CFL speed cap in particle space
-    inv = jnp.where(xnorm > 0.0,
-                    C.XSPH_COEFF / jnp.maximum(xnorm, 1e-30), 0.0)
-    new_vel = C.speed_cap(nvel + inv[:, None] * xsum, params.h, dt)
 
     # --- reassemble particle state (mirrors binned.substep) ---
     m = PL.unpack_meta(s.meta)

@@ -1,33 +1,48 @@
 """Table geometry + construction for the Pallas sweep kernels.
 
 The Pallas neighbor engine (``pallas_sweeps.py``) consumes dense
-"cell-block tables": ONE stacked ``[F, ny+2, n_chunks, K, CW]`` f32
-array per particle family (fluid / ghost) where
+"cell-block tables": TWO stacked ``[F, nyq, n_chunks, 2*cap, CW]`` f32
+arrays per particle family (fluid / ghost) — one per RANK CLASS —
+where
 
-- ``ny+2``    = y cell rows with a +-1 sentinel halo (gravity is -Y, so
-                empty-space skipping is most effective when y is the
-                program axis),
-- ``K``       = cell capacity (slot index, the f32 sublane dim, so each
-                (row, chunk) block is a stack of full-VPU ``(K, CW)``
-                tiles),
+- ``nyq``     = PAIRS of y cell rows (the y grid gets a +-1 sentinel
+                halo, is padded to an even row count, and consecutive
+                rows share one tile — gravity is -Y, so y stays the
+                program axis for empty-space skipping),
+- class       = table A holds cell ranks ``[0, cap)``; table B (the
+                SPILL class) holds ranks ``[cap, 2*cap)``, so a
+                crowded cell keeps full SPH physics up to
+                ``2*cap = cell_capacity`` particles,
+- ``2*cap``   = the slot dim ``slot = parity * cap + k`` (which row of
+                the pair x rank within the class); each (pair, chunk)
+                block is a stack of ``(2*cap, CW)`` VPU tiles and IS
+                the dest tile for its class,
 - lanes       = the (z, x) plane flattened as ``zx = zp * nxp + xp``
                 with per-axis +-1 border cells baked in
                 (``nxp = nx + 2``), chunked into ``n_chunks`` disjoint
                 windows of ``CW`` lanes (CW is 128-aligned so the MXU
                 expand kernel can write chunk slices directly).
 
-Unlike round 1 there are NO baked halo lanes: each kernel program
-fetches the 3x3 neighboring (y, chunk) blocks and assembles the
-halo-extended ``(K, CW + 2H)`` source rows in VMEM (the same clamped
-re-fetch trick the force kernel already used for the density planes —
-junk lanes introduced by edge clamping are provably never read by real
-destination cells, see ``pallas_sweeps._ext_rows``).
+Packing two y rows and two rank classes into the slot dim kills the
+dest-slot padding that dominated round 1 (PERF.md roadmap #1: K=8 slot
+rows for mean cell occupancy ~1.7): occupancy is now bounded PER ROW
+PER CLASS (4-bit fields in ``occ_rows``), so the kernels' slot loops
+scale with what is actually there, and the spill class closes the
+rank>=K physics hole (VERDICT round 1, weak #5) up to
+``cell_capacity``; the remainder is counted in ``overflow`` and
+asserted zero by ``bench.py``.
 
-Ghost boundary particles live in their OWN static position-only table:
-ghosts never move, carry rho = rho0 / pressure 0 / velocity 0
-(``shaders/SPHFluid.comp:71-83``), so their sweeps need no velocity, no
-density and no output slots — and keeping them out of the fluid tables
-un-poisons the occupancy gate that drives the kernels' slot loops
+There are NO baked halo lanes: each kernel program fetches the 3x3
+neighboring (pair, chunk) blocks and assembles halo-extended
+``(S, CW + 2H)`` source rows in VMEM (junk lanes introduced by edge
+clamping are provably never read by real destination cells, see
+``pallas_sweeps._ext_rows``).
+
+Ghost boundary particles live in their OWN static position-only table
+with the same slot layout: ghosts never move, carry rho = rho0 /
+pressure 0 / velocity 0 (``shaders/SPHFluid.comp:71-83``), so their
+sweeps need no velocity, no density and no output slots — and keeping
+them out of the fluid tables un-poisons the fluid occupancy gates
 (PERF.md finding 1).
 
 The construction path is: y-major cell keys -> 9-operand ``lax.sort``
@@ -56,18 +71,26 @@ SENTINEL_POS = 1.0e7
 _OID_BITS = 22
 _OID_MASK = (1 << _OID_BITS) - 1
 
-# occ_rows bit packing (see FluidTables.occ_rows)
-OCC_BITS = 5
+# occ_rows bit packing, all PER Y ROW (see FluidTables.occ_rows):
+#   bits  0:4  fluid class-0 slot bound over the chunk window +-H halo
+#   bits  4:8  fluid class-1 (spill) slot bound
+#   bits  8:12 ghost class-0 slot bound   (merged in by substep)
+#   bits 12:16 ghost class-1 slot bound
+#   bit  16    "window interior holds class-0 fluid" dest gate
+#   bit  17    "window interior holds class-1 fluid" dest gate
+OCC_BITS = 4
 OCC_MASK = (1 << OCC_BITS) - 1
-DEST_BIT = 1 << OCC_BITS
-GOCC_SHIFT = OCC_BITS + 1
+OCC_B_SHIFT = 4
+GOCC_SHIFT = 8
+DEST_A_SHIFT = 16
+DEST_B_SHIFT = 17
 
 
 class PlaneGeom(NamedTuple):
     nx: int
     ny: int
     nz: int
-    cap: int        # K slots per cell
+    cap: int        # slots per (row, class): cell_capacity // 2
     n_chunks: int
 
     @property
@@ -81,6 +104,21 @@ class PlaneGeom(NamedTuple):
     @property
     def nzp(self) -> int:
         return self.nz + 2
+
+    @property
+    def nyp_pad(self) -> int:
+        """y rows padded to an even count for pair packing."""
+        return self.nyp + (self.nyp & 1)
+
+    @property
+    def nyq(self) -> int:
+        """Row pairs (the kernel/program y axis)."""
+        return self.nyp_pad // 2
+
+    @property
+    def s_slots(self) -> int:
+        """One class table's slot dim: (parity, k) -> 2 * cap."""
+        return 2 * self.cap
 
     @property
     def num_cells(self) -> int:
@@ -112,12 +150,13 @@ class PlaneGeom(NamedTuple):
 
     @property
     def padded_cells(self) -> int:
-        return self.nyp * self.nzp * self.nxp
+        return self.nyp * self.nzx
 
 
 def geom_for(config: SimConfig, max_cwh: int = 0) -> PlaneGeom:
     if max_cwh <= 0:
         max_cwh = getattr(config, "plane_max_cwh", 1536)
+    assert config.cell_capacity % 2 == 0 and config.cell_capacity >= 2
     nx, ny, nz = config.grid_dims
     nzx = (nz + 2) * (nx + 2)
     halo = nx + 3
@@ -125,7 +164,7 @@ def geom_for(config: SimConfig, max_cwh: int = 0) -> PlaneGeom:
     n_chunks = 1
     while 128 * (-(-nzx // (128 * n_chunks))) > max_cw:
         n_chunks += 1
-    g = PlaneGeom(nx=nx, ny=ny, nz=nz, cap=config.cell_capacity,
+    g = PlaneGeom(nx=nx, ny=ny, nz=nz, cap=config.cell_capacity // 2,
                   n_chunks=n_chunks)
     # the in-kernel halo assembly reads at most H lanes from each
     # neighboring chunk, so chunks must be at least one halo wide
@@ -231,22 +270,23 @@ def padded_cell_index(key: jax.Array, geom: PlaneGeom) -> jax.Array:
 class FluidTables(NamedTuple):
     """Stacked dense fluid source tables + occupancy.
 
-    ``tbl``: [7, nyp, nc, K, CW] — px py pz vx vy vz pidx (pidx = sorted
-    particle index as f32; empty slots carry -1 and SENTINEL_POS).
-    ``occ_rows``: [nyp, nc] i32 — bits0:5 fluid max-slot bound over the
-    chunk window + its +-H halo lanes, bit5 "window interior holds any
-    fluid" dest gate, bits6:11 ghost occ bound (merged in by substep).
+    ``tbl_a``/``tbl_b``: [6, nyq, nc, 2*cap, CW] — px py pz vx vy vz
+    for rank classes 0 / 1 (empty slots carry SENTINEL_POS / 0).
+    ``occ_rows``: [nyp_pad, nc] i32 — per-row occupancy bounds and dest
+    gates, see the bit layout at the top of this module.
     """
-    tbl: jax.Array
+    tbl_a: jax.Array
+    tbl_b: jax.Array
     occ_rows: jax.Array
-    in_bin: jax.Array    # [N] bool
-    overflow: jax.Array  # [] i32
+    in_bin: jax.Array    # [N] bool (rank < 2*cap, key in grid)
+    overflow: jax.Array  # [] i32 count of rank >= 2*cap fluid
 
 
 class GhostTables(NamedTuple):
-    """Static position-only ghost source table (built once per frame)."""
-    tbl: jax.Array       # [3, nyp, nc, K, CW]
-    occ: jax.Array       # [nyp, nc] i32 ghost occ bound incl halo
+    """Static position-only ghost source tables (built once per frame)."""
+    tbl_a: jax.Array     # [3, nyq, nc, 2*cap, CW]
+    tbl_b: jax.Array
+    occ: jax.Array       # [nyp_pad, nc] i32, ghost occ in bits 0:8
     overflow: jax.Array  # [] i32
 
 
@@ -259,21 +299,34 @@ def default_expand_method(geom: PlaneGeom) -> str:
     """Measured on v5e: the lane-major butterfly wins for small tables
     (6.4 vs 10.3 ms at 131k) but its log2(slots) rounds scale with table
     size; the MXU one-hot kernel wins at 1M (62.7 vs 73.7 ms)."""
-    return "mxu" if geom.padded_cells * geom.cap >= 4_000_000 else "butterfly"
+    return ("mxu" if geom.padded_cells * 2 * geom.cap >= 4_000_000
+            else "butterfly")
+
+
+def _slot_of(rank_in_class: jax.Array, parity: jax.Array, cap: int
+             ) -> jax.Array:
+    """(rank within class, row parity) -> slot in a class table."""
+    return parity * cap + rank_in_class
 
 
 def _expand_tables(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
                    overflow: jax.Array, geom: PlaneGeom, hole: jax.Array,
-                   method: str) -> jax.Array:
-    """[N, F] sorted rows -> [F, nyp, nc, K, CW] stacked dense tables."""
+                   method: str) -> Tuple[jax.Array, jax.Array]:
+    """[N, F] sorted rows -> two [F, nyq, nc, 2*cap, CW] stacked dense
+    class tables (ranks [0, cap) / [cap, 2*cap)).
+
+    ``key_p`` indexes the y-UNPAIRED padded cell space [nyp, nzx]
+    (spill = padded_cells); ``rank`` is the in-cell rank; ranks >=
+    2*cap are dropped (spill class full -> overflow, counted by the
+    caller)."""
     if method == "auto":
         method = default_expand_method(geom)
-    k = geom.cap
+    cap = geom.cap
+    k2c = 2 * cap                       # ranks representable per cell
     f = packed.shape[1]
-    pc_count = geom.padded_cells
 
     from sph_tpu.neighbors import expand as EX
-    eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzx, cap=k)
+    eg = EX.ExpandGeom(ny=geom.nyp, cps=geom.nzx, cap=k2c)
 
     if method == "mxu":
         from sph_tpu.neighbors import mxu_permute as MX
@@ -288,69 +341,116 @@ def _expand_tables(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
                                   interpret=interp)
 
         def via_scatter(pk):
-            # rare overflow fallback: per-field 1D scatters into k-MAJOR
-            # flat tables over the lane-PADDED cell space (so the tail
-            # lanes beyond nzx carry the hole fill, not junk), keeping
-            # both cond branches in the same sane cells-minor layout —
-            # mixing a k-minor branch in makes XLA tile the whole cond
-            # output at 16x padding (27 GB HBM; see PERF.md)
-            ppc = geom.nyp * geom.nzxp
-            total = k * ppc
-            yp = key_p // geom.nzx
-            lane = key_p - yp * geom.nzx
-            key_pp = jnp.where(key_p < pc_count,
-                               yp * geom.nzxp + lane, ppc)
-            in2 = (rank < k) & (key_pp < ppc)
-            slot2 = jnp.where(in2, rank * ppc + key_pp, total)
-            fields = []
-            for i in range(f):
-                t = jnp.full((total + 1,), hole[i], jnp.float32)
-                t = t.at[slot2].set(pk[:, i], mode="drop",
-                                    unique_indices=True)
-                fields.append(t[:total])
-            t8 = jnp.stack(fields)                     # [F, K*PPC]
-            t5 = t8.reshape(f, k, geom.nyp, geom.n_chunks, geom.cw)
-            return jnp.transpose(t5, (0, 2, 3, 1, 4))
+            return _scatter_tables(pk, key_p, rank, geom, hole)
 
-        # (cell-rank overflow needs no fallback here: rank >= K maps to
-        # the dropped slot, same as the scatter path's spill row)
         return lax.cond(win_ovf, via_scatter, via_mxu, packed)
 
-    if method == "butterfly":
-        table_t = EX.expand_T(packed, key_p, rank, overflow, eg, hole)
-    else:
-        table_t = EX.expand_scatter_T(packed, key_p, rank, eg, hole)
-    # [nyp, F, nzx*K] -> pad the lane-cell dim WITH THE HOLE VALUES
-    # (zero-padding would plant fake sources at the origin) ->
-    # [F, nyp, nc, K, CW].  Padding happens on the flat slot dim
-    # (lane-major, sane layout); the k-minor intermediate below is the
-    # same deferred-bitcast transpose the round-1 path used (XLA fuses
-    # it; see PERF.md 8).
-    pad = (geom.nzxp - geom.nzx) * k
+    if method == "scatter":
+        return _scatter_tables(packed, key_p, rank, geom, hole)
+
+    # butterfly: lane-major [nyp, F, nzx * 2cap] with slot = cell*2cap
+    # + rank (k-minor), scatter fallback on rank overflow inside
+    table_t = EX.expand_T(packed, key_p, rank, overflow, eg, hole)
+    # pad the lane-cell dim WITH THE HOLE VALUES (zero-padding would
+    # plant fake sources at the origin) and pad y rows to even count
+    pad = (geom.nzxp - geom.nzx) * k2c
     if pad:
         fill = jnp.broadcast_to(hole[None, :, None],
                                 (geom.nyp, f, pad)).astype(table_t.dtype)
         table_t = jnp.concatenate([table_t, fill], axis=2)
-    t5 = table_t.reshape(geom.nyp, f, geom.n_chunks, geom.cw, k)
-    return jnp.transpose(t5, (1, 0, 2, 4, 3))
+    if geom.nyp_pad != geom.nyp:
+        fill = jnp.broadcast_to(
+            hole[None, :, None],
+            (geom.nyp_pad - geom.nyp, f, table_t.shape[2])
+        ).astype(table_t.dtype)
+        table_t = jnp.concatenate([table_t, fill], axis=0)
+    # the same deferred-bitcast k-minor transpose the flat layout always
+    # used (measured cheap), THEN the coarse pair fold
+    t5 = table_t.reshape(geom.nyp_pad, f, geom.n_chunks, geom.cw, k2c)
+    t5 = jnp.transpose(t5, (1, 0, 2, 4, 3))
+    return _fold_pairs(t5, geom)
 
 
-def _window_occ(counts_p: jax.Array, geom: PlaneGeom, cap: int
+def _fold_pairs(t5: jax.Array, geom: PlaneGeom
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Per-padded-cell counts [nyp, nzx] -> (window occ bound incl +-H
-    halo lanes [nyp, nc], window-interior-nonempty gate [nyp, nc])."""
-    occ_cell = jnp.minimum(counts_p, cap).astype(jnp.int32)
-    occ_flat = jnp.pad(occ_cell, ((0, 0), (0, geom.nzxp - geom.nzx)))
-    win = occ_flat.reshape(geom.nyp, geom.n_chunks, geom.cw)
-    h = geom.halo
-    interior = jnp.max(win, axis=-1)                       # [nyp, nc]
-    tails = jnp.max(win[:, :, geom.cw - h:], axis=-1)
-    heads = jnp.max(win[:, :, :h], axis=-1)
-    z = jnp.zeros((geom.nyp, 1), jnp.int32)
-    left = jnp.concatenate([z, tails[:, :-1]], axis=1)
-    right = jnp.concatenate([heads[:, 1:], z], axis=1)
-    occ = jnp.maximum(jnp.maximum(interior, left), right)
-    return occ, (interior > 0).astype(jnp.int32)
+    """[F, nyp_pad, nc, 2cap(rank), CW] -> the two class tables
+    [F, nyq, nc, 2cap(parity*cap+k), CW].
+
+    Built as a class slice + a row-parity transpose whose (cap, CW)
+    inner blocks move WHOLESALE — a coarse-grained copy at memory
+    bandwidth, unlike a single fused 7D transpose with a sub-8 sublane
+    minor dim, which XLA materializes at 2x tile padding and ~4x cost
+    (measured: 25.6 vs 6.4 ms table build at 131k)."""
+    f = t5.shape[0]
+    cap = geom.cap
+    outs = []
+    for cls in range(2):
+        tc = t5[:, :, :, cls * cap:(cls + 1) * cap, :]
+        tc = tc.reshape(f, geom.nyq, 2, geom.n_chunks, cap, geom.cw)
+        tc = jnp.transpose(tc, (0, 1, 3, 2, 4, 5))
+        outs.append(tc.reshape(f, geom.nyq, geom.n_chunks,
+                               geom.s_slots, geom.cw))
+    return outs[0], outs[1]
+
+
+def _scatter_tables(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
+                    geom: PlaneGeom, hole: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """General-case per-field 1D scatters into k-MAJOR flat tables over
+    the lane-PADDED cell space (so the tail lanes beyond nzx carry the
+    hole fill, not junk).  Both ``lax.cond`` branches in
+    ``_expand_tables`` keep the same cells-minor layout — mixing a
+    k-minor branch in makes XLA tile the whole cond output at 16x
+    padding (27 GB HBM; see PERF.md finding 8)."""
+    cap = geom.cap
+    k2c = 2 * cap
+    f = packed.shape[1]
+    ppc = geom.nyp_pad * geom.nzxp
+    total = k2c * ppc
+    yp = key_p // geom.nzx
+    lane = key_p - yp * geom.nzx
+    key_pp = jnp.where(key_p < geom.padded_cells,
+                       yp * geom.nzxp + lane, ppc)
+    in2 = (rank < k2c) & (key_pp < ppc)
+    slot2 = jnp.where(in2, rank * ppc + key_pp, total)
+    fields = []
+    for i in range(f):
+        t = jnp.full((total + 1,), hole[i], jnp.float32)
+        t = t.at[slot2].set(packed[:, i], mode="drop",
+                            unique_indices=True)
+        fields.append(t[:total])
+    t8 = jnp.stack(fields)                     # [F, 2cap * PPC]
+    t5 = t8.reshape(f, k2c, geom.nyp_pad, geom.n_chunks, geom.cw)
+    t5 = jnp.transpose(t5, (0, 2, 3, 1, 4))
+    return _fold_pairs(t5, geom)
+
+
+def _window_occ(counts_p: jax.Array, geom: PlaneGeom
+                ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-padded-cell counts [nyp, nzx] -> per-row per-class window
+    bounds incl +-H halo lanes and window-interior dest gates, each
+    [nyp_pad, nc] i32: (occ_a, occ_b, dest_a, dest_b)."""
+    cap = geom.cap
+
+    def window_max(occ_cell):
+        occ_flat = jnp.pad(occ_cell, ((0, geom.nyp_pad - geom.nyp),
+                                      (0, geom.nzxp - geom.nzx)))
+        win = occ_flat.reshape(geom.nyp_pad, geom.n_chunks, geom.cw)
+        h = geom.halo
+        interior = jnp.max(win, axis=-1)
+        tails = jnp.max(win[:, :, geom.cw - h:], axis=-1)
+        heads = jnp.max(win[:, :, :h], axis=-1)
+        z = jnp.zeros((geom.nyp_pad, 1), jnp.int32)
+        left = jnp.concatenate([z, tails[:, :-1]], axis=1)
+        right = jnp.concatenate([heads[:, 1:], z], axis=1)
+        return jnp.maximum(jnp.maximum(interior, left), right), interior
+
+    occ_a_cell = jnp.minimum(counts_p, cap).astype(jnp.int32)
+    occ_b_cell = jnp.clip(counts_p - cap, 0, cap).astype(jnp.int32)
+    occ_a, int_a = window_max(occ_a_cell)
+    occ_b, int_b = window_max(occ_b_cell)
+    return (occ_a, occ_b,
+            (int_a > 0).astype(jnp.int32), (int_b > 0).astype(jnp.int32))
 
 
 def _padded_counts(key_p: jax.Array, geom: PlaneGeom) -> jax.Array:
@@ -369,30 +469,30 @@ def build_fluid_tables(s: Sorted, params: FluidParams, geom: PlaneGeom,
 
     ``s`` must be sorted with FLUID keys (ghost/invalid rows spilled to
     ``num_cells``), so every table slot is a live fluid particle."""
-    k = geom.cap
+    k2c = 2 * geom.cap
     num_cells = geom.num_cells
     n = s.key.shape[0]
 
-    in_bin = (s.rank < k) & (s.key < num_cells)
-    overflow = jnp.sum(((s.rank >= k) & (s.key < num_cells))
+    in_bin = (s.rank < k2c) & (s.key < num_cells)
+    overflow = jnp.sum(((s.rank >= k2c) & (s.key < num_cells))
                        .astype(jnp.int32))
 
-    pidx = jnp.arange(n, dtype=jnp.float32)
-    packed = jnp.concatenate([s.pos, s.vel, pidx[:, None]], axis=1)
+    packed = jnp.concatenate([s.pos, s.vel], axis=1)
 
     pc = padded_cell_index(s.key, geom)
     key_p = jnp.where(s.key < num_cells, pc, geom.padded_cells)
     hole = jnp.concatenate([
         jnp.full((3,), SENTINEL_POS, jnp.float32),
-        jnp.zeros((3,), jnp.float32),
-        jnp.full((1,), -1.0, jnp.float32)])       # empty pidx = -1
+        jnp.zeros((3,), jnp.float32)])
 
-    tbl = _expand_tables(packed, key_p, s.rank, overflow, geom, hole,
-                         method)
-    occ, dest = _window_occ(_padded_counts(key_p, geom), geom, k)
-    occ_rows = occ | (dest << OCC_BITS)
-    return FluidTables(tbl=tbl, occ_rows=occ_rows, in_bin=in_bin,
-                       overflow=overflow)
+    tbl_a, tbl_b = _expand_tables(packed, key_p, s.rank, overflow, geom,
+                                  hole, method)
+    occ_a, occ_b, dest_a, dest_b = _window_occ(
+        _padded_counts(key_p, geom), geom)
+    occ_rows = (occ_a | (occ_b << OCC_B_SHIFT)
+                | (dest_a << DEST_A_SHIFT) | (dest_b << DEST_B_SHIFT))
+    return FluidTables(tbl_a=tbl_a, tbl_b=tbl_b, occ_rows=occ_rows,
+                       in_bin=in_bin, overflow=overflow)
 
 
 def build_ghost_tables(state: ParticleState, params: FluidParams,
@@ -410,29 +510,40 @@ def build_ghost_tables(state: ParticleState, params: FluidParams,
         (key, state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]),
         dimension=0, num_keys=1, is_stable=True)
     rank = _ranks(skey)
-    k = geom.cap
-    overflow = jnp.sum(((rank >= k) & (skey < geom.num_cells))
+    k2c = 2 * geom.cap
+    overflow = jnp.sum(((rank >= k2c) & (skey < geom.num_cells))
                        .astype(jnp.int32))
     packed = jnp.stack([px, py, pz], axis=1)
     pc = padded_cell_index(skey, geom)
     key_p = jnp.where(skey < geom.num_cells, pc, geom.padded_cells)
     hole = jnp.full((3,), SENTINEL_POS, jnp.float32)
-    tbl = _expand_tables(packed, key_p, rank, overflow, geom, hole,
-                         method)
-    occ, _ = _window_occ(_padded_counts(key_p, geom), geom, k)
-    return GhostTables(tbl=tbl, occ=occ, overflow=overflow)
+    tbl_a, tbl_b = _expand_tables(packed, key_p, rank, overflow, geom,
+                                  hole, method)
+    occ_a, occ_b, _, _ = _window_occ(_padded_counts(key_p, geom), geom)
+    return GhostTables(tbl_a=tbl_a, tbl_b=tbl_b,
+                       occ=occ_a | (occ_b << OCC_B_SHIFT),
+                       overflow=overflow)
 
 
 def out_flat_index(s: Sorted, geom: PlaneGeom) -> jax.Array:
-    """Per sorted particle: flat index into stacked kernel outputs
-    ``[ny, n_chunks, K, CW]`` (clamped for out-of-bin particles; mask
-    separately)."""
+    """Per sorted particle: flat index into the CONCATENATED kernel
+    outputs ``[class A | class B]`` where each class output is
+    ``[nyq, n_chunks, 2*cap, CW]`` flattened (clamped for out-of-bin
+    particles; mask separately)."""
+    cap = geom.cap
     key = jnp.minimum(s.key, geom.num_cells - 1)
-    rank = jnp.minimum(s.rank, geom.cap - 1)
+    rank = jnp.minimum(s.rank, 2 * cap - 1)
+    cls = rank // cap
     x = key % geom.nx
     z = (key // geom.nx) % geom.nz
     y = key // (geom.nx * geom.nz)
+    yp = y + 1
+    q = yp // 2
+    parity = yp % 2
+    slot = _slot_of(rank - cls * cap, parity, cap)
     lane = (z + 1) * geom.nxp + (x + 1)
     c = lane // geom.cw
     li = lane - c * geom.cw
-    return ((y * geom.n_chunks + c) * geom.cap + rank) * geom.cw + li
+    local = ((q * geom.n_chunks + c) * geom.s_slots + slot) * geom.cw + li
+    t_class = geom.nyq * geom.n_chunks * geom.s_slots * geom.cw
+    return cls * t_class + local

@@ -71,6 +71,47 @@ def run(n_devices: int) -> None:
     err = float(np.abs(ra - sa).max())
     assert err < 1e-4, f"slab trajectory diverged from single-device: {err}"
 
+    # --- engine 1b: slab decomposition on the PRODUCTION Pallas
+    # kernels (interpret mode on CPU), fountain respawns routed
+    # cross-slab by the all_to_all router.  Tiny shapes: interpret-mode
+    # evaluation of the fused sweep kernels is slow, and this check
+    # must stay well inside the driver's patience. ---
+    from sph_tpu.parallel import slab_pallas
+    half_p = np.array([3.2, 3.2, 3.2])
+    spawn_p = spawn_standard(384, box_half=half_p, seed=2)
+    state_p = state_from_spawn(spawn_p)
+    params_p = FluidParams.default(
+        box_half=half_p.astype(np.float32)).derive_mass()
+    dims_p = compute_grid_dims(0, half_p, np.array([0.0, 0.0, 0.0]),
+                               0.28)
+    simp = SimConfig(n=state_p.n, grid_dims=dims_p,
+                     neighbor_impl="pallas", fountain_mode=True,
+                     cell_capacity=4)  # cap 2/class: halves the unroll
+                                       # (same capacity both engines)
+    scfgp = slabs.make_slab_config(simp, n_devices, state_p.n)
+    stp = slabs.shard_by_slab(state_p, params_p, scfgp, mesh)
+    stepp = slab_pallas.make_slab_pallas_substep(mesh, scfgp,
+                                                 fountain_mode=True)
+    sbuf = SceneBuffers.create(simp)
+    n_sub_p = 2
+    for _ in range(n_sub_p):
+        stp, sbuf = stepp(stp, params_p, params_p.dt, sbuf)
+    jax.block_until_ready(stp.pos)
+    stph = jax.device_get(stp)
+    assert not bool(np.isnan(np.asarray(stph.pos)).any())
+    bufp = SceneBuffers.create(simp)
+    refp, _ = run_substeps(state_p, params_p, bufp, params_p.dt,
+                           n_sub_p, simp)
+    rvp = np.asarray(refp.valid) > 0
+    svp = np.asarray(stph.valid) > 0
+    assert svp.sum() == rvp.sum(), "slab-pallas lost particles"
+    rap = np.asarray(refp.pos)[rvp]
+    rap = rap[np.argsort(np.asarray(refp.orig_id)[rvp], kind="stable")]
+    sap = np.asarray(stph.pos)[svp]
+    sap = sap[np.argsort(np.asarray(stph.orig_id)[svp], kind="stable")]
+    errp = float(np.abs(rap - sap).max())
+    assert errp < 1e-4, f"slab-pallas diverged from single-device: {errp}"
+
     # --- engine 2: gather-parallel brute ---
     pad = 64 * n_devices
     spawn = spawn_standard(pad, seed=0)
@@ -87,7 +128,9 @@ def run(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}): ok — slab engine "
           f"({n_valid} particles, {n_devices} z-slabs, ppermute halos, "
           f"{n_sub}-substep trajectory matches single-device, "
-          f"max err {err:.2e}) + gather engine ({pad} particles)")
+          f"max err {err:.2e}) + slab-PALLAS engine (production "
+          f"kernels, fountain respawns routed cross-slab, max err "
+          f"{errp:.2e}) + gather engine ({pad} particles)")
 
 
 if __name__ == "__main__":

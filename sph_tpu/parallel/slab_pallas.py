@@ -1,0 +1,369 @@
+"""Multi-chip slab decomposition driving the PALLAS production kernels.
+
+``parallel/slabs.py`` validated slab decomposition against the binned
+XLA engine; this module runs the actual hot path — the class-split
+dense tables + fused Mosaic sweep kernels of
+``neighbors/pallas_sweeps.py`` — per slab, with cross-slab neighbor
+information riding ``lax.ppermute`` over ICI.
+
+The key layout decision: the Pallas tables' ROW axis is whatever grid
+axis the sort treats as major, so this engine bins **slab-axis-major**
+(global z), i.e. each device's local ``PlaneGeom`` maps
+
+    geometry "y" (row/program axis)  <- local z slice of the grid
+    geometry "z" x "x" (lane plane)  <- global y x x
+
+Then every cross-slab structure is a ROW SLICE of an existing array and
+the halo exchange is three small ppermute rounds per substep:
+
+1. **source rows** — each device sends its edge interior table row
+   (fluid class A/B + ghost class A/B positions, [F, nc, cap, CW]) to
+   its slab neighbors, which write it into their sentinel halo rows;
+   the kernels' 4-source-row sweeps then see cross-slab pairs exactly
+   as intra-slab ones.
+2. **occupancy words** — the matching ``occ_rows`` rows (with the
+   received rows' DEST bits stripped: halo rows are sources only).
+3. **density rows** — the force kernel reads neighbor-row densities,
+   so the density outputs' edge rows exchange the same way before the
+   force+xsph kernel runs.
+
+After integration + container constraints, migration reuses
+``slabs._migrate`` (direction-keyed sorts + 2 ppermutes; exact because
+the CFL cap bounds movement to < 1 cell/substep).
+
+Gravity is -y, which this layout keeps INSIDE the lane plane, so the
+bottom-heavy particle distribution spreads evenly across z slabs (good
+load balance) and the per-window dest gating still skips the empty
+upper-y lane windows.
+
+Reference parity: the reference scales via one big GPU dispatch
+(``SPHFluid3D.cpp``) — multi-chip is new capability, designed per the
+jax sharding recipe (mesh + shard_map + explicit collectives).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+from sph_tpu.core.params import FluidParams, SimConfig, grid_cell_coords
+from sph_tpu.core.state import ParticleState
+from sph_tpu.neighbors import pallas_sweeps as K
+from sph_tpu.neighbors import planes as PL
+from sph_tpu.parallel import slabs as SL
+from sph_tpu.physics import common as C
+from sph_tpu.physics import constraints
+
+AXIS = SL.AXIS
+
+
+def local_geom(scfg: SL.SlabConfig) -> PL.PlaneGeom:
+    """Per-slab plane geometry: rows = local z, lanes = (y, x)."""
+    nx, ny, nz = scfg.dims
+    cfg = SimConfig(n=scfg.n_shard, grid_dims=(nx, scfg.nz_local, ny),
+                    neighbor_impl="pallas",
+                    cell_capacity=scfg.cell_capacity)
+    return PL.geom_for(cfg)
+
+
+def _local_keys_zmajor(pos, mask, params: FluidParams,
+                       scfg: SL.SlabConfig, z0, geom: PL.PlaneGeom):
+    """Slab-local z-major cell key ``x + nx*(y + ny*lz)``; out-of-slab
+    z clips to the edge row (those particles migrate right after the
+    substep, exactly like ``slabs._local_keys``)."""
+    nx, ny, _ = scfg.dims
+    c = grid_cell_coords(pos, params, scfg.dims)
+    lz = jnp.clip(c[:, 2] - z0, 0, scfg.nz_local - 1)
+    key = c[:, 0] + nx * (c[:, 1] + ny * lz)
+    return jnp.where(mask, key, geom.num_cells)
+
+
+def _row_slice(tbl: jax.Array, geom: PL.PlaneGeom, row: int) -> jax.Array:
+    """[F, nyq, nc, 2cap, CW] -> the (pair, parity) slot rows of padded
+    row ``row``: [F, nc, cap, CW]."""
+    q, par = row // 2, row % 2
+    cap = geom.cap
+    return tbl[:, q, :, par * cap:(par + 1) * cap, :]
+
+
+def _row_write(tbl: jax.Array, blk: jax.Array, geom: PL.PlaneGeom,
+               row: int) -> jax.Array:
+    q, par = row // 2, row % 2
+    cap = geom.cap
+    return tbl.at[:, q, :, par * cap:(par + 1) * cap, :].set(blk)
+
+
+def _exchange_rows(tbl: jax.Array, geom: PL.PlaneGeom, n_dev: int
+                   ) -> jax.Array:
+    """Fill a table's sentinel halo rows (0 and nz_local+1) with the
+    neighbors' edge interior rows (1 and nz_local).  World-edge slabs
+    keep their sentinel content."""
+    nz_l = geom.ny                       # geometry "y" = local z
+    up = [(i, i + 1) for i in range(n_dev - 1)]
+    down = [(i, i - 1) for i in range(1, n_dev)]
+    top_int = _row_slice(tbl, geom, nz_l)
+    bot_int = _row_slice(tbl, geom, 1)
+    from_below = lax.ppermute(top_int, AXIS, up)
+    from_above = lax.ppermute(bot_int, AXIS, down)
+    d = lax.axis_index(AXIS)
+    cur_b = _row_slice(tbl, geom, 0)
+    cur_t = _row_slice(tbl, geom, nz_l + 1)
+    nb = jnp.where(d > 0, from_below, cur_b)
+    na = jnp.where(d < n_dev - 1, from_above, cur_t)
+    tbl = _row_write(tbl, nb, geom, 0)
+    return _row_write(tbl, na, geom, nz_l + 1)
+
+
+def _exchange_occ(occ_rows: jax.Array, geom: PL.PlaneGeom, n_dev: int
+                  ) -> jax.Array:
+    """Same exchange for the [nyp_pad, nc] occupancy words; received
+    rows have their dest bits stripped (halo rows are sources only)."""
+    nz_l = geom.ny
+    up = [(i, i + 1) for i in range(n_dev - 1)]
+    down = [(i, i - 1) for i in range(1, n_dev)]
+    dest_bits = (1 << PL.DEST_A_SHIFT) | (1 << PL.DEST_B_SHIFT)
+    from_below = lax.ppermute(occ_rows[nz_l], AXIS, up) & ~dest_bits
+    from_above = lax.ppermute(occ_rows[1], AXIS, down) & ~dest_bits
+    d = lax.axis_index(AXIS)
+    nb = jnp.where(d > 0, from_below, occ_rows[0])
+    na = jnp.where(d < n_dev - 1, from_above, occ_rows[nz_l + 1])
+    occ_rows = occ_rows.at[0].set(nb)
+    return occ_rows.at[nz_l + 1].set(na)
+
+
+def _exchange_rho(rho: jax.Array, geom: PL.PlaneGeom, n_dev: int
+                  ) -> jax.Array:
+    """Density outputs [nyq, nc, 2cap, CW]: same row exchange (the
+    force kernel reads halo-row densities of neighbor slabs)."""
+    return _exchange_rows(rho[None], geom, n_dev)[0]
+
+
+def _route_all_to_all(state: ParticleState, params: FluidParams,
+                      scfg: SL.SlabConfig) -> ParticleState:
+    """General cross-slab router: deliver every particle to the slab
+    owning its cell in ONE ``lax.all_to_all`` round.
+
+    ``slabs._migrate`` only ships to +-1 neighbors (exact for CFL-bound
+    motion); river/fountain respawns TELEPORT particles to the emitter
+    (``FountainRecycle.comp`` / ``StreamEmit.comp``), which can cross
+    any number of slabs — so emitter modes route with this instead."""
+    nd = scfg.n_dev
+    capd = scfg.mig_cap
+    d = lax.axis_index(AXIS)
+    c = grid_cell_coords(state.pos, params, scfg.dims)
+    gz = jnp.clip(c[:, 2], 0, scfg.dims[2] - 1)
+    tgt = jnp.clip(gz // scfg.nz_local, 0, nd - 1)
+    valid = state.valid > 0
+    leaving = valid & (tgt != d)
+    stay = valid & ~leaving
+
+    meta = PL.pack_meta(state, jnp.ones(state.n, bool))
+    rows = jnp.concatenate([
+        state.pos, state.vel, state.acc,
+        state.density[:, None], state.pressure[:, None],
+        state.foam[:, None]], axis=1)
+    f = rows.shape[1]
+
+    # pack leavers destination-sorted into per-slab fixed-cap buckets
+    key = jnp.where(leaving, tgt, nd).astype(jnp.int32)
+    ops = lax.sort((key, meta, *[rows[:, i] for i in range(f)]),
+                   dimension=0, num_keys=1, is_stable=True)
+    k = ops[0][:capd]
+    ok = k < nd
+    m = jnp.where(ok, ops[1][:capd], 0)
+    vals = jnp.stack(ops[2:], 1)[:capd]
+    r = PL._ranks(k)                      # rank within destination
+    slot = jnp.where(ok, k * capd + r, nd * capd)
+    buf_rows = jnp.zeros((nd * capd + 1, f), jnp.float32
+                         ).at[slot].set(vals, mode="drop")[:-1]
+    buf_meta = jnp.zeros((nd * capd + 1,), jnp.int32
+                         ).at[slot].set(m, mode="drop")[:-1]
+    buf_ok = jnp.zeros((nd * capd + 1,), bool
+                       ).at[slot].set(ok, mode="drop")[:-1]
+
+    rx_rows = lax.all_to_all(buf_rows.reshape(nd, capd, f), AXIS,
+                             split_axis=0, concat_axis=0
+                             ).reshape(nd * capd, f)
+    rx_meta = lax.all_to_all(buf_meta.reshape(nd, capd), AXIS,
+                             split_axis=0, concat_axis=0
+                             ).reshape(nd * capd)
+    rx_ok = lax.all_to_all(buf_ok.reshape(nd, capd), AXIS,
+                           split_axis=0, concat_axis=0
+                           ).reshape(nd * capd)
+
+    # merge: stayers + arrivals, validity-keyed sort, keep n_shard rows
+    all_rows = jnp.concatenate([rows, rx_rows], 0)
+    all_meta = jnp.concatenate([meta, rx_meta], 0)
+    all_valid = jnp.concatenate([stay, rx_ok], 0)
+    vkey = jnp.where(all_valid, 0, 1).astype(jnp.int32)
+    ops = lax.sort((vkey, all_meta,
+                    *[all_rows[:, i] for i in range(f)]),
+                   dimension=0, num_keys=1, is_stable=True)
+    keep = scfg.n_shard
+    new_valid = ops[0][:keep] == 0
+    new_meta = jnp.where(new_valid, ops[1][:keep], 0)
+    vals = jnp.stack(ops[2:], 1)[:keep]
+    mm = PL.unpack_meta(new_meta)
+    iv = new_valid.astype(jnp.int32)
+    return ParticleState(
+        pos=vals[:, 0:3], vel=vals[:, 3:6], acc=vals[:, 6:9],
+        density=vals[:, 9], pressure=vals[:, 10], foam=vals[:, 11],
+        ghost=mm.ghost * iv, active=mm.active * iv, face=mm.face,
+        color_group=mm.color_group, valid=iv,
+        orig_id=mm.orig_id)
+
+
+def _substep_body(state: ParticleState, params: FluidParams,
+                  dt: jax.Array, buffers, scfg: SL.SlabConfig,
+                  river_mode: bool = False, fountain_mode: bool = False):
+    """Per-device slab substep on the Pallas kernels (under shard_map)."""
+    geom = local_geom(scfg)
+    n_dev = scfg.n_dev
+    interpret = K._interpret_default()
+    d = lax.axis_index(AXIS)
+    z0 = d * scfg.nz_local
+
+    m_valid = state.valid > 0
+    fluid_mask = m_valid & (state.ghost == 0)
+    key = _local_keys_zmajor(state.pos, fluid_mask, params, scfg, z0,
+                             geom)
+    contrib = state.contrib_mask(params.ghost_face_active)
+    s = PL.sort_particles(state, key, contrib)
+    ft = PL.build_fluid_tables(s, params, geom)
+
+    # static ghost tables, built locally per substep (the single-chip
+    # engine hoists this per frame; here migration can move ghosts
+    # between slabs so we rebuild — ghost counts are tiny)
+    gmask = m_valid & (state.ghost > 0) & contrib
+    gkey = _local_keys_zmajor(state.pos, gmask, params, scfg, z0, geom)
+    gskey, gx, gy, gz = lax.sort(
+        (gkey, state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]),
+        dimension=0, num_keys=1, is_stable=True)
+    grank = PL._ranks(gskey)
+    govf = jnp.sum(((grank >= 2 * geom.cap)
+                    & (gskey < geom.num_cells)).astype(jnp.int32))
+    gpacked = jnp.stack([gx, gy, gz], axis=1)
+    gpc = PL.padded_cell_index(gskey, geom)
+    gkey_p = jnp.where(gskey < geom.num_cells, gpc, geom.padded_cells)
+    ghole = jnp.full((3,), PL.SENTINEL_POS, jnp.float32)
+    gt_a, gt_b = PL._expand_tables(gpacked, gkey_p, grank, govf, geom,
+                                   ghole, "auto")
+    gocc_a, gocc_b, _, _ = PL._window_occ(
+        PL._padded_counts(gkey_p, geom), geom)
+    gt = PL.GhostTables(tbl_a=gt_a, tbl_b=gt_b,
+                        occ=gocc_a | (gocc_b << PL.OCC_B_SHIFT),
+                        overflow=govf)
+
+    occ_rows = ft.occ_rows | (gt.occ << PL.GOCC_SHIFT)
+
+    # --- halo exchange: source tables + occupancy words ---
+    ta = _exchange_rows(ft.tbl_a, geom, n_dev)
+    tb = _exchange_rows(ft.tbl_b, geom, n_dev)
+    ga = _exchange_rows(gt.tbl_a, geom, n_dev)
+    gb = _exchange_rows(gt.tbl_b, geom, n_dev)
+    occ_rows = _exchange_occ(occ_rows, geom, n_dev)
+    ft = ft._replace(tbl_a=ta, tbl_b=tb)
+    gt = gt._replace(tbl_a=ga, tbl_b=gb)
+
+    pvec = K._make_pvec(params, dt)
+    rho_a, rho_b = K.density_call(ft, occ_rows, gt, pvec, geom,
+                                  interpret)
+    # --- halo exchange: edge densities before the force sweeps ---
+    rho_a = _exchange_rho(rho_a, geom, n_dev)
+    rho_b = _exchange_rho(rho_b, geom, n_dev)
+    out_a, out_b = K.force_xsph_call(ft, occ_rows, rho_a, rho_b, gt,
+                                     pvec, geom, interpret)
+
+    # --- gather + reassembly (mirrors pallas_sweeps.substep) ---
+    sa = jnp.concatenate([out_a, rho_a[None]], axis=0).reshape(10, -1)
+    sb = jnp.concatenate([out_b, rho_b[None]], axis=0).reshape(10, -1)
+    per = jnp.concatenate([sa, sb], axis=1).T[
+        PL.out_flat_index(s, geom)]
+
+    new_pos = per[:, 0:3]
+    new_vel = per[:, 3:6]
+    new_acc = per[:, 6:9]
+    new_rho = per[:, 9]
+    new_pres = jnp.maximum(
+        params.gas_constant * (new_rho - params.rest_density), 0.0)
+
+    m = PL.unpack_meta(s.meta)
+    fluid = (m.valid > 0) & (m.ghost == 0) & ft.in_bin
+    ofl = (m.valid > 0) & (m.ghost == 0) & ~ft.in_bin
+
+    acc_g = jnp.broadcast_to(params.gravity[None, :], s.pos.shape)
+    vel_g = C.speed_cap((s.vel + acc_g * dt) * C.VELOCITY_DAMPING,
+                        params.h, dt)
+    pos_g = s.pos + vel_g * dt
+
+    ghost_on = (m.contrib > 0) & (m.ghost > 0)
+    density = jnp.where(fluid, new_rho,
+                        jnp.where(m.ghost > 0, params.rest_density, 0.0))
+    pressure = jnp.where(fluid, new_pres, 0.0)
+    foam = C.foam_update(s.foam, new_vel, density, params)
+
+    pos = jnp.where(fluid[:, None], new_pos,
+                    jnp.where(ofl[:, None], pos_g, s.pos))
+    vel = jnp.where(fluid[:, None], new_vel,
+                    jnp.where(ofl[:, None], vel_g, s.vel))
+    vel = jnp.where(ghost_on[:, None], 0.0, vel)
+    acc = jnp.where(fluid[:, None], new_acc,
+                    jnp.where(ofl[:, None], acc_g, 0.0))
+    acc = jnp.where(ghost_on[:, None], 0.0, acc)
+    foam = jnp.where(fluid, foam, s.foam)
+
+    out = PL.to_particle_state(
+        s._replace(pos=pos, vel=vel, foam=foam),
+        density=density, pressure=pressure, acc=acc)
+    out = constraints.apply_container(out, params)
+
+    # emitters (engine/step.py substep order); their respawns teleport,
+    # so emitter modes route with the all_to_all router instead of the
+    # +-1 migrate
+    if river_mode:
+        from sph_tpu.physics import emitters
+        out = constraints.apply_terrain(out, buffers.terrain, params)
+        out = constraints.apply_channel(out, params, dt)
+        out = emitters.stream_emit(out, params)
+    if fountain_mode and not river_mode:
+        from sph_tpu.physics import emitters
+        out = emitters.fountain_recycle(out, params, dt,
+                                        buffers.fountain_seed)
+        buffers = buffers.replace(
+            fountain_seed=buffers.fountain_seed + jnp.uint32(1))
+    if river_mode or fountain_mode:
+        return _route_all_to_all(out, params, scfg), buffers
+    return SL._migrate(out, params, scfg, z0), buffers
+
+
+def make_slab_pallas_substep(mesh: Mesh, scfg: SL.SlabConfig,
+                             river_mode: bool = False,
+                             fountain_mode: bool = False):
+    """Jitted multi-chip slab substep on the Pallas kernels.
+
+    Returns ``step(state, params, dt, buffers) -> (state, buffers)``;
+    ``buffers`` is a replicated ``SceneBuffers`` (terrain heightmap,
+    fountain seed)."""
+    from jax.sharding import PartitionSpec as PS
+    from sph_tpu.engine.step import SceneBuffers
+    state_spec = jax.tree_util.tree_map(lambda _: PS(AXIS),
+                                        ParticleState.zeros(1))
+    rep_params = jax.tree_util.tree_map(lambda _: PS(),
+                                        FluidParams.default())
+    cfg = SimConfig(n=1, grid_dims=scfg.dims, neighbor_impl="pallas")
+    buf_spec = jax.tree_util.tree_map(lambda _: PS(),
+                                      SceneBuffers.create(cfg))
+    body = functools.partial(_substep_body, scfg=scfg,
+                             river_mode=river_mode,
+                             fountain_mode=fountain_mode)
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(state_spec, rep_params, PS(), buf_spec),
+        out_specs=(state_spec, buf_spec),
+        check_vma=False)
+    return jax.jit(mapped)

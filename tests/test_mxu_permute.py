@@ -1,5 +1,5 @@
 """MXU one-hot expand kernel vs the XLA scatter reference, plus the
-row-gather index round-trip over the stacked dense tables."""
+row-gather index round-trip over the class-split dense tables."""
 import numpy as np
 
 import jax.numpy as jnp
@@ -24,24 +24,29 @@ def _sorted_setup(n=1500, half=(3.0, 3.0, 3.0), seed=0):
     return s, params, geom
 
 
+def _assert_tables_equal(ft_x, ft_y):
+    np.testing.assert_array_equal(np.asarray(ft_x.tbl_a),
+                                  np.asarray(ft_y.tbl_a))
+    np.testing.assert_array_equal(np.asarray(ft_x.tbl_b),
+                                  np.asarray(ft_y.tbl_b))
+    np.testing.assert_array_equal(np.asarray(ft_x.occ_rows),
+                                  np.asarray(ft_y.occ_rows))
+
+
 def test_expand_mxu_matches_scatter():
-    """The one-hot matmul expand writes bit-identical stacked tables to
-    the XLA scatter path (same [F, nyp, nc, K, CW] layout, same holes)."""
+    """The one-hot matmul expand writes bit-identical class tables to
+    the XLA scatter path (same [F, nyq, nc, 2cap, CW] layout/holes)."""
     s, params, geom = _sorted_setup()
     ft_mxu = PL.build_fluid_tables(s, params, geom, method="mxu")
     ft_ref = PL.build_fluid_tables(s, params, geom, method="scatter")
-    np.testing.assert_array_equal(np.asarray(ft_mxu.tbl),
-                                  np.asarray(ft_ref.tbl))
-    np.testing.assert_array_equal(np.asarray(ft_mxu.occ_rows),
-                                  np.asarray(ft_ref.occ_rows))
+    _assert_tables_equal(ft_mxu, ft_ref)
 
 
 def test_expand_butterfly_matches_scatter():
     s, params, geom = _sorted_setup(seed=3)
     ft_bf = PL.build_fluid_tables(s, params, geom, method="butterfly")
     ft_ref = PL.build_fluid_tables(s, params, geom, method="scatter")
-    np.testing.assert_array_equal(np.asarray(ft_bf.tbl),
-                                  np.asarray(ft_ref.tbl))
+    _assert_tables_equal(ft_bf, ft_ref)
 
 
 def test_expand_window_overflow_flag():
@@ -57,18 +62,22 @@ def test_expand_window_overflow_flag():
 
 
 def test_out_flat_index_roundtrip():
-    """The pidx field of the fluid tables, gathered back to particle
-    order by out_flat_index, recovers each in-bin particle's own sorted
-    index (the data path the substep's row gather relies on)."""
+    """A particle-index field expanded into the class tables and
+    gathered back by out_flat_index recovers each in-bin particle's own
+    sorted index (the data path the substep's row gather relies on)."""
     s, params, geom = _sorted_setup(seed=1)
-    ft = PL.build_fluid_tables(s, params, geom, method="scatter")
-    pidx_flat = ft.tbl[6].reshape(geom.nyp, geom.n_chunks, geom.cap,
-                                  geom.cw)
-    # kernel outputs have no y halo: drop the sentinel +-1 y rows to
-    # match out_flat_index's [ny, nc, K, CW] addressing
-    pidx_out = pidx_flat[1:-1].reshape(-1)
-    per = np.asarray(pidx_out[PL.out_flat_index(s, geom)])
-    in_bin = np.asarray(ft.in_bin)
     n = s.key.shape[0]
+    pc = PL.padded_cell_index(s.key, geom)
+    key_p = jnp.where(s.key < geom.num_cells, pc, geom.padded_cells)
+    pidx = jnp.arange(n, dtype=jnp.float32)[:, None]
+    hole = jnp.full((1,), -1.0, jnp.float32)
+    ovf = jnp.sum(((s.rank >= 2 * geom.cap)
+                   & (s.key < geom.num_cells)).astype(jnp.int32))
+    ta, tb = PL._expand_tables(pidx, key_p, s.rank, ovf, geom, hole,
+                               "scatter")
+    flat = jnp.concatenate([ta[0].reshape(-1), tb[0].reshape(-1)])
+    per = np.asarray(flat[PL.out_flat_index(s, geom)])
+    in_bin = np.asarray((s.rank < 2 * geom.cap)
+                        & (s.key < geom.num_cells))
     np.testing.assert_array_equal(per[in_bin],
                                   np.arange(n, dtype=np.float32)[in_bin])
