@@ -7,14 +7,23 @@ an adaptive rolling threshold (``:71-99``).  Pure host-side — no GL, no
 device code (the reference keeps this module "Pure CPU" by design,
 ``ReelExport.h:6``).
 
-WAV decodes natively (scipy.io.wavfile).  MP3 has no decoder in this
-environment; ``decode_to_mono`` raises a clear error for it (gated, not
-silently dropped).
+WAV decodes natively (scipy.io.wavfile).  MP3 (the reference bundles
+dr_mp3 for it) decodes through the first external decoder found on
+PATH — ``mpg123``, ``ffmpeg`` or ``sox``, each asked to emit WAV on
+stdout — via ``_decode_via_external``; the plumbing (subprocess, WAV
+parse, downmix, envelope parity with a WAV twin) is covered by tests
+with a substitute decoder, since this sandbox ships no audio codecs.
+``SPH_AUDIO_DECODER`` overrides the decoder binary (argv prefix; the
+input path is appended, WAV expected on stdout).
 """
 from __future__ import annotations
 
 import dataclasses
+import io
 import os
+import shlex
+import shutil
+import subprocess
 from typing import List, Tuple
 
 import numpy as np
@@ -40,32 +49,74 @@ class ReelAnalysis:
         return self.frame_count > 0 and not self.error
 
 
+def _wav_to_mono(rate: int, data: np.ndarray) -> Tuple[np.ndarray, int]:
+    """PCM array -> (mono float32, rate), downmixing channels equally
+    (``ReelExport.cpp:36-41``)."""
+    if data.ndim == 0 or data.size == 0:
+        raise ValueError("empty audio")
+    if data.dtype == np.int16:
+        mono_src = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        mono_src = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        mono_src = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        mono_src = data.astype(np.float32)
+    if mono_src.ndim == 2:
+        mono_src = mono_src.mean(axis=1)
+    return np.ascontiguousarray(mono_src, np.float32), int(rate)
+
+
+# (tool, argv builder): each emits a WAV container on stdout, so one
+# parser covers them all
+_EXTERNAL_DECODERS = (
+    ("mpg123", lambda p: ["mpg123", "-q", "-w", "-", p]),
+    ("ffmpeg", lambda p: ["ffmpeg", "-v", "error", "-i", p,
+                          "-f", "wav", "-"]),
+    ("sox", lambda p: ["sox", p, "-t", "wav", "-"]),
+)
+
+
+def _decode_via_external(path: str) -> Tuple[np.ndarray, int]:
+    """Compressed-format decode through an external tool emitting WAV
+    on stdout (the reference's dr_mp3 role, ``ReelExport.cpp:24-67``)."""
+    override = os.environ.get("SPH_AUDIO_DECODER", "")
+    if override:
+        argvs = [shlex.split(override) + [path]]
+    else:
+        argvs = [mk(path) for name, mk in _EXTERNAL_DECODERS
+                 if shutil.which(name)]
+        if not argvs:
+            raise ValueError(
+                "no external audio decoder found (install mpg123, "
+                "ffmpeg or sox, or set SPH_AUDIO_DECODER)")
+    last_err: Exception = ValueError("decode failed")
+    for argv in argvs:
+        try:
+            out = subprocess.run(
+                argv, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, timeout=600, check=True
+            ).stdout
+            from scipy.io import wavfile
+            rate, data = wavfile.read(io.BytesIO(out))
+            return _wav_to_mono(rate, data)
+        except Exception as e:          # try the next tool
+            last_err = e
+    raise ValueError(f"external audio decode failed: {last_err}")
+
+
 def decode_to_mono(path: str) -> Tuple[np.ndarray, int]:
-    """Decode .wav to (mono float32, sample_rate), downmixing channels
-    equally (``ReelExport.cpp:36-41``). Raises ValueError on failure."""
+    """Decode .wav/.mp3 (+.ogg/.flac) to (mono float32, sample_rate).
+    Raises ValueError on failure."""
     if not path:
         raise ValueError("no audio file given")
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         from scipy.io import wavfile
         rate, data = wavfile.read(path)
-        if data.ndim == 0 or data.size == 0:
-            raise ValueError("empty audio")
-        if data.dtype == np.int16:
-            mono_src = data.astype(np.float32) / 32768.0
-        elif data.dtype == np.int32:
-            mono_src = data.astype(np.float32) / 2147483648.0
-        elif data.dtype == np.uint8:
-            mono_src = (data.astype(np.float32) - 128.0) / 128.0
-        else:
-            mono_src = data.astype(np.float32)
-        if mono_src.ndim == 2:
-            mono_src = mono_src.mean(axis=1)
-        return np.ascontiguousarray(mono_src, np.float32), int(rate)
-    if ext == ".mp3":
-        raise ValueError(
-            "MP3 decode is not available in this environment "
-            "(no decoder library); convert to WAV first")
+        return _wav_to_mono(rate, data)
+    if ext in (".mp3", ".ogg", ".flac", ".m4a"):
+        return _decode_via_external(path)
     raise ValueError("unsupported file type (use .wav or .mp3)")
 
 
