@@ -76,6 +76,7 @@ class Scene:
         self.sequencer = Sequencer(preset_dir=preset_dir)
         self.camera: OrbitCamera = fit_camera(self.settings.box_half)
         self.stencil_targets: Optional[np.ndarray] = None
+        self.mesh_obj_path: str = ""     # OBJ asset for render mode 2
         self.river_spec = None
         self.post_state = None
         self.last_frame_dt = 1.0 / 60.0
@@ -244,17 +245,12 @@ class Scene:
                                width=width, height=height,
                                particle_radius=radius, vp=vp)
         else:
-            from sph_tpu.viz.splat import render_frame
-            # mode 2 (instanced mesh spheres) differs from impostors only
-            # by true-geometry shading; headlessly both are lit splats,
-            # mesh mode forces the lit-sphere shading term on.
-            if s.render_mode == 2:
-                vp = dataclasses.replace(vp, lit_sphere=True)
+            from sph_tpu.viz.splat import render_frame, render_frame_mesh
             want_depth = apply_post and s.lens_aperture > 0.0
             background = tuple(s.bg_color)
             if self.river_spec is not None:
-                # terrain heightfield pass under the fluid (R12,
-                # terrainVert/Frag.glsl)
+                # terrain triangle-mesh pass under the fluid (R12,
+                # terrainVert/Frag.glsl + Scene0p.cpp:2942-3123)
                 from sph_tpu.viz.terrain import draw_terrain
                 bg_img = (np.broadcast_to(
                     np.asarray(s.bg_color, np.float32),
@@ -264,11 +260,20 @@ class Scene:
                     s.box_center, s.box_half,
                     cam.view_matrix(), cam.proj_matrix(width / height),
                     sun_dir=tuple(s.sun_dir), sun_color=tuple(s.sun_color))
-            out = render_frame(self.state, vp, cam,
-                               width=width, height=height,
-                               particle_radius=radius,
-                               background=background,
-                               return_depth=want_depth)
+            if s.render_mode == 2:
+                # TRUE instanced mesh spheres (Mesh.cpp + the
+                # defaultVert instancing path), z-buffer rasterized
+                out = render_frame_mesh(
+                    self.state, vp, cam, width=width, height=height,
+                    particle_radius=radius, background=background,
+                    mesh_obj=self.mesh_obj_path or None,
+                    return_depth=want_depth)
+            else:
+                out = render_frame(self.state, vp, cam,
+                                   width=width, height=height,
+                                   particle_radius=radius,
+                                   background=background,
+                                   return_depth=want_depth)
             img, view_z = out if want_depth else (out, None)
 
         if s.show_outline:

@@ -1,13 +1,16 @@
 """Headless terrain heightfield renderer — the reference's river terrain
 mesh pass (R12: ``terrainVert/Frag.glsl``, mesh build
-``Scene0p.cpp:2942-3123``) as painter-splat image math.
+``Scene0p.cpp:2942-3123``) as a TRUE triangle mesh.
 
-The heightfield upsamples (bilinear) to a dense point grid; each point
-projects and splats back-to-front with the reference fragment shader's
+The heightfield upsamples (bilinear) to a dense vertex grid, builds the
+same two-triangles-per-cell topology the reference builds on the CPU
+(``Scene0p.cpp:2967-2984``), shades vertices with the fragment shader's
 height-blended colors (wet rock -> dry rock -> soil -> grass,
-``terrainFrag.glsl:14-26``) and Lambertian shading from finite-difference
-normals (``Scene0p.cpp:2988-2996``).  Drawn before the particle pass so
-the fluid occludes the ground it flows over.
+``terrainFrag.glsl:14-26``) and Lambertian lighting from
+finite-difference normals (``Scene0p.cpp:2988-2996``), then z-buffer
+rasterizes with perspective-correct interpolation
+(``viz/raster.py`` / ``native/tri_raster.cpp``).  Drawn before the
+particle pass so the fluid occludes the ground it flows over.
 """
 from __future__ import annotations
 
@@ -80,56 +83,28 @@ def terrain_points(terrain: np.ndarray, box_center, box_half,
 def draw_terrain(img: np.ndarray, terrain: np.ndarray, box_center,
                  box_half, view: np.ndarray, proj: np.ndarray,
                  sun_dir=(0.4, 1.0, 0.5), sun_color=(1.0, 0.97, 0.9),
-                 upsample: int = 3, footprint: int | None = None
-                 ) -> np.ndarray:
-    """Splat the shaded heightfield into an [H,W,3] uint8 frame
-    (painter order, far first).
+                 upsample: int = 3, return_depth: bool = False):
+    """Rasterize the terrain triangle mesh into an [H,W,3] uint8 frame
+    (z-buffered, perspective-correct vertex colors — the headless
+    equivalent of the reference's GL terrain pass).
 
-    ``footprint=None`` (default) sizes the splat square from the
-    projected grid spacing so the surface tiles hole-free at any
-    camera distance — the point-splat analogue of the reference's
-    continuous triangle mesh (``Scene0p.cpp:2942-3123``).
-    """
+    ``return_depth=True`` additionally returns the [H,W] float32 view
+    depth buffer (+inf where no terrain), letting later passes occlude
+    against the ground."""
+    from sph_tpu.viz import raster as R
+
     hpx, wpx = img.shape[:2]
     pos, normals = terrain_points(terrain, box_center, box_half, upsample)
     col = terrain_colors(pos[:, 1], normals, sun_dir, sun_color)
+    rh = terrain.shape[0] * upsample
+    rw = terrain.shape[1] * upsample
+    tris = R.grid_mesh_tris(rh, rw)
 
-    vp = pos @ view[:3, :3].T + view[:3, 3]
-    depth = -vp[:, 2]
-    ok = depth > 1e-6
-    clip_x = vp[:, 0] * proj[0, 0]
-    clip_y = vp[:, 1] * proj[1, 1]
-    sw = np.maximum(depth, 1e-6)
-    px = (clip_x / sw * 0.5 + 0.5) * wpx
-    py = (1.0 - (clip_y / sw * 0.5 + 0.5)) * hpx
-    ok &= (px >= 0) & (px < wpx) & (py >= 0) & (py < hpx)
-    idx = np.nonzero(ok)[0]
-    if len(idx) == 0:
-        return img
-    order = np.argsort(-depth[idx], kind="stable")
-    idx = idx[order]
-
-    if footprint is None:
-        # Actual projected spacing between adjacent grid points (99th
-        # percentile tolerates cliff edges); cover it plus 1px overlap.
-        rh, rw = terrain.shape[0] * upsample, terrain.shape[1] * upsample
-        gx = px.reshape(rh, rw)
-        gy = py.reshape(rh, rw)
-        du = np.hypot(np.diff(gx, axis=1), np.diff(gy, axis=1))
-        dv = np.hypot(np.diff(gx, axis=0), np.diff(gy, axis=0))
-        spacing = float(np.percentile(np.concatenate(
-            [du.ravel(), dv.ravel()]), 99.0))
-        footprint = max(1, int(math.ceil(spacing)) + 1)
-
-    out = img.astype(np.float32).reshape(-1, 3)
-    x0 = px[idx].astype(np.int32)
-    y0 = py[idx].astype(np.int32)
-    c255 = col[idx] * 255.0
-    r = int(footprint)
-    lo = -(r // 2)
-    for dy in range(lo, lo + r + 1):
-        for dx in range(lo, lo + r + 1):
-            x = np.clip(x0 + dx, 0, wpx - 1)
-            y = np.clip(y0 + dy, 0, hpx - 1)
-            out[y * wpx + x] = c255
-    return np.clip(out.reshape(hpx, wpx, 3), 0.0, 255.0).astype(np.uint8)
+    px, py, depth = R.project_to_screen(pos, view, proj, wpx, hpx)
+    out = img.astype(np.float32)
+    zbuf = np.full((hpx, wpx), np.inf, np.float32)
+    R.rasterize(out, zbuf, px, py, depth, col, tris)
+    frame = np.clip(out, 0.0, 255.0).astype(np.uint8)
+    if return_depth:
+        return frame, zbuf
+    return frame
