@@ -72,34 +72,59 @@ def cmd_run(args) -> None:
         scene.settings.audio_enabled = True
         reactor = AudioReactive(FileSource(args.track))
         reactor.start()
+    # interactive live controls (the ImGui-panel stand-in,
+    # Scene0p.cpp:595-1265) — raw-key polling while pacing realtime;
+    # inert on a non-TTY stdin
+    from sph_tpu.app.keys import KeyController
+    keys = KeyController(scene) if args.realtime else None
+
     t0 = time.time()
-    for f in range(args.frames):
-        bands = (0.0, 0.0, 0.0)
-        if reactor is not None:
-            bands = (reactor.get_bass(), reactor.get_mid(),
-                     reactor.get_treble())
-        elif args.audio:
-            import math
-            bands = (0.5 + 0.5 * math.sin(f * 0.3), 0.2, 0.1)
-        n_sub = scene.update(frame_dt, bands=bands)
-        if args.out and args.every > 0 and f % args.every == 0:
-            from sph_tpu.viz.splat import save_png
-            import os
-            os.makedirs(args.out, exist_ok=True)
-            save_png(scene.render(args.width, args.height),
-                     f"{args.out}/frame_{f:05d}.png")
-        if args.realtime:
-            # FPS cap: sleep off the frame budget (SceneManager.cpp:86-92)
-            budget = (f + 1) * frame_dt - (time.time() - t0)
-            if budget > 0:
-                time.sleep(budget)
-        if f % 30 == 0:
-            print(f"frame {f}/{args.frames} substeps={n_sub} "
-                  f"t={scene.sim_time:.2f}s wall={time.time() - t0:.1f}s",
-                  file=sys.stderr)
+    ctx = keys if keys is not None else _NullCtx()
+    with ctx:
+        for f in range(args.frames):
+            if keys is not None:
+                if not keys.poll():
+                    print("quit", file=sys.stderr)
+                    break
+                if keys.paused:
+                    time.sleep(frame_dt)
+                    continue
+            bands = (0.0, 0.0, 0.0)
+            if reactor is not None:
+                bands = (reactor.get_bass(), reactor.get_mid(),
+                         reactor.get_treble())
+            elif args.audio:
+                import math
+                bands = (0.5 + 0.5 * math.sin(f * 0.3), 0.2, 0.1)
+            n_sub = scene.update(frame_dt, bands=bands)
+            if args.out and args.every > 0 and f % args.every == 0:
+                from sph_tpu.viz.splat import save_png
+                import os
+                os.makedirs(args.out, exist_ok=True)
+                save_png(scene.render(args.width, args.height),
+                         f"{args.out}/frame_{f:05d}.png")
+            if args.realtime:
+                # FPS cap: sleep off the frame budget
+                # (SceneManager.cpp:86-92)
+                budget = (f + 1) * frame_dt - (time.time() - t0)
+                if budget > 0:
+                    time.sleep(budget)
+            if f % 30 == 0:
+                print(f"frame {f}/{args.frames} substeps={n_sub} "
+                      f"t={scene.sim_time:.2f}s "
+                      f"wall={time.time() - t0:.1f}s",
+                      file=sys.stderr)
     if reactor is not None:
         reactor.stop()
     print(f"done: {args.frames} frames in {time.time() - t0:.1f}s")
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
 
 
 def cmd_bench(args) -> None:

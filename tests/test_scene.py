@@ -201,3 +201,48 @@ def test_params_from_settings():
     assert abs(float(p.viscosity) - 4.5) < 1e-6
     # mass derived from h
     assert abs(float(p.mass) - 1000.0 * (0.85 * 0.3) ** 3) < 1e-3
+
+
+def test_key_controller_live_controls():
+    """run --realtime interactive surface (the ImGui-panel stand-in):
+    keys mutate settings through apply_settings, orbit the camera, and
+    quit cleanly; inert without a TTY."""
+    from sph_tpu.app.keys import KeyController
+    from sph_tpu.scene.scene import Scene
+
+    scene = Scene()
+    scene.settings = dataclasses.replace(scene.settings,
+                                         particle_count=256)
+    scene.respawn()
+    kc = KeyController(scene)
+
+    pal0 = scene.settings.palette_id
+    assert kc.handle("]")
+    assert scene.settings.palette_id == (pal0 + 1) % 24
+    assert kc.handle("[")
+    assert scene.settings.palette_id == pal0
+
+    mode0 = scene.settings.render_mode
+    kc.handle("m")
+    assert scene.settings.render_mode == (mode0 + 1) % 3
+
+    att0 = scene.settings.attractor_on
+    kc.handle("t")
+    assert scene.settings.attractor_on != att0
+
+    yaw0 = scene.camera.yaw_deg
+    kc.handle("d")
+    assert scene.camera.yaw_deg == pytest.approx(yaw0 + 6.0)
+    dist0 = scene.camera.distance
+    kc.handle("-")
+    assert scene.camera.distance == pytest.approx(dist0 * 1.1)
+
+    kc.handle(" ")
+    assert kc.paused
+    kc.handle("r")
+    assert scene.pending_reset
+    assert not kc.handle("q")
+
+    # no TTY: the context manager is inert and poll() is a no-op True
+    with kc:
+        assert kc.poll()
