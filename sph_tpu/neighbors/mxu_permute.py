@@ -46,30 +46,43 @@ def expand_windows(geom: PlaneGeom, cells_per_block: int = 128
                    ) -> Tuple[int, int, int]:
     """(n_windows_per_row, n_windows, S_blk) over the lane-PADDED cell
     space; windows tile each padded y-row's nzxp lanes exactly (nzxp and
-    CW are 128-aligned by construction).  S_blk spans BOTH rank classes
-    (2*cap slots per cell)."""
+    CW are 128-aligned by construction).  S_blk spans ONE rank class
+    (``cap`` slots per cell) — each class expands separately, so the
+    nearly-empty spill class costs a small ``max_p`` instead of
+    doubling the one-hot matmul work."""
     assert geom.nzxp % cells_per_block == 0, (geom.nzxp, cells_per_block)
     nsc = geom.nzxp // cells_per_block
-    return nsc, geom.nyp_pad * nsc, cells_per_block * 2 * geom.cap
+    return nsc, geom.nyp_pad * nsc, cells_per_block * geom.cap
 
 
 def expand_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
-                      cells_per_block: int, max_p: int
+                      cells_per_block: int, max_p: int,
+                      count_all_ranks: bool = True
                       ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per sorted particle: (window id, slot-in-window, starts[NW+1],
-    overflow flag).  Slot numbering is RANK-MAJOR (slot = rank*cpb +
-    cell_in_block) so a window's [S_blk] column splits into the two
-    class tables' [cap, cpb] blocks."""
+    overflow flag) for ONE rank class (``rank`` is the in-class rank;
+    out-of-class ranks write no slot).  Slot numbering is RANK-MAJOR
+    (slot = rank*cpb + cell_in_block) so a window's [S_blk] column
+    unfolds to the class table's [cap, cpb] block.
+
+    ``count_all_ranks=True`` (default): window membership counts EVERY
+    valid-key row regardless of rank — required when the kernel streams
+    runs of the full sorted array, where out-of-class rows interleave
+    inside a window's span.  Pass False only for arrays pre-compacted
+    to one class."""
     cpb = cells_per_block
     nsc, nw, s_blk = expand_windows(geom, cpb)
     cps = geom.nzx
     yp = key_p // cps
     cir = key_p - yp * cps                      # cell (lane) in row
     chunk = cir // cpb                          # < nsc: cir < nzx <= nzxp
-    win = jnp.where(key_p >= geom.padded_cells, nw,
-                    yp * nsc + chunk)
+    in_class = (rank >= 0) & (rank < geom.cap)
+    member = (key_p < geom.padded_cells)
+    if not count_all_ranks:
+        member = member & in_class
+    win = jnp.where(member, yp * nsc + chunk, nw)
     in_slot = jnp.where(
-        (rank < 2 * geom.cap) & (win < nw),
+        in_class & (win < nw),
         rank * cpb + (cir - chunk * cpb),
         s_blk)                                   # out of range -> dropped
     counts = jnp.zeros((nw + 1,), jnp.int32).at[win].add(1, mode="drop")
@@ -81,7 +94,7 @@ def expand_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
 
 
 def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
-                   starts_ref, hole_ref, rows_hbm, out_a, out_b,
+                   starts_ref, hole_ref, rows_hbm, out_ref,
                    scratch, sem):
     w = pl.program_id(0)
     st = starts_ref[w]
@@ -117,23 +130,19 @@ def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
     # each slot holds at most one particle -> max == sum, exact in bf16
     filled = jnp.max(oh, axis=0)[None, :].astype(jnp.float32)
     blk = blk + hole_ref[...] * (1.0 - filled)
-    # slot numbering is rank-major: ranks [0, cap) -> class table A,
-    # ranks [cap, 2*cap) -> class table B
-    half = cap * cpb
-    out_a[...] = blk[:, :half].reshape(f, 1, 1, cap, cpb)
-    out_b[...] = blk[:, half:].reshape(f, 1, 1, cap, cpb)
+    out_ref[...] = blk.reshape(f, 1, 1, cap, cpb)
 
 
 def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
                 geom: PlaneGeom, hole_fill: jax.Array,
                 cells_per_block: int = 128, max_p: int = 512,
-                interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
-    """[N, F] sorted rows -> two [F, nyq, nc, 2*cap, CW] stacked dense
-    class tables (``planes.FluidTables`` layout; windows write chunk
-    sub-slices directly since CW is a multiple of cells_per_block, and
-    each single-row window writes the parity half of its pair's slot
-    dim).  Valid only when no window overflowed max_p (see
-    ``expand_window_ids``)."""
+                interpret: bool = False) -> jax.Array:
+    """[N, F] sorted rows -> ONE class's [F, nyq, nc, 2*cap, CW]
+    stacked dense table (``planes.FluidTables`` layout; windows write
+    chunk sub-slices directly since CW is a multiple of
+    cells_per_block, and each single-row window writes the parity half
+    of its pair's slot dim).  Valid only when no window overflowed
+    max_p (see ``expand_window_ids``)."""
     n, f = packed.shape
     cpb = cells_per_block
     nsc, nw, s_blk = expand_windows(geom, cpb)
@@ -172,17 +181,16 @@ def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[out_spec, out_spec],
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((max_p, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ])
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_expand_kernel, s_blk, max_p, f, geom.cap, cpb),
         grid_spec=grid_spec,
-        out_shape=[out_shape, out_shape],
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(starts, hole, rows)
-    return out[0], out[1]

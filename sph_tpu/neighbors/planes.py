@@ -331,22 +331,61 @@ def _expand_tables(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
     if method == "mxu":
         from sph_tpu.neighbors import mxu_permute as MX
         cpb, max_p = 128, 512
-        _, in_slot, starts, win_ovf = MX.expand_window_ids(
-            key_p, rank, geom, cpb, max_p)
         interp = _interpret_default()
+        n = packed.shape[0]
 
-        def via_mxu(pk):
-            return MX.expand_call(pk, in_slot, starts, geom, hole,
+        # --- class A: ranks [0, cap), full-density windows ---
+        _, slot_a, starts_a, ovf_a = MX.expand_window_ids(
+            key_p, rank, geom, cpb, max_p)
+
+        def mxu_a(pk):
+            return MX.expand_call(pk, slot_a, starts_a, geom, hole,
                                   cells_per_block=cpb, max_p=max_p,
                                   interpret=interp)
 
-        def via_scatter(pk):
-            return _scatter_tables(pk, key_p, rank, geom, hole)
+        def scat_a(pk):
+            return _scatter_class(pk, key_p, rank, 0, geom, hole)
 
-        return lax.cond(win_ovf, via_scatter, via_mxu, packed)
+        tbl_a = lax.cond(ovf_a, scat_a, mxu_a, packed)
+
+        # --- class B (spill ranks [cap, 2cap)): almost always nearly
+        # empty, so compact the spill rows (stable flag-keyed sort
+        # keeps key order) and expand with a small window bound
+        # instead of doubling the one-hot matmul work ---
+        mcap = min(n, max(2048, n // 8))
+        max_pb = min(max_p, 128)
+        is_b = ((rank >= cap) & (rank < k2c)
+                & (key_p < geom.padded_cells))
+        flag = jnp.where(is_b, 0, 1).astype(jnp.int32)
+        pack_kr = jnp.where(
+            is_b, key_p * 16 + jnp.clip(rank - cap, 0, 15),
+            geom.padded_cells * 16)
+        ops = lax.sort(
+            (flag, pack_kr, *[packed[:, i] for i in range(f)]),
+            dimension=0, num_keys=1, is_stable=True)
+        pkr = ops[1][:mcap]
+        key_pb = pkr // 16
+        rank_b = pkr - key_pb * 16
+        packed_b = jnp.stack(ops[2:], axis=1)[:mcap]
+        n_spill = jnp.sum(is_b.astype(jnp.int32))
+        _, slot_b, starts_b, ovf_b = MX.expand_window_ids(
+            key_pb, rank_b, geom, cpb, max_pb, count_all_ranks=False)
+        ovf_b = ovf_b | (n_spill > mcap)
+
+        def mxu_b(pk):
+            return MX.expand_call(pk, slot_b, starts_b, geom, hole,
+                                  cells_per_block=cpb, max_p=max_pb,
+                                  interpret=interp)
+
+        def scat_b(_pk):
+            return _scatter_class(packed, key_p, rank, cap, geom, hole)
+
+        tbl_b = lax.cond(ovf_b, scat_b, mxu_b, packed_b)
+        return tbl_a, tbl_b
 
     if method == "scatter":
-        return _scatter_tables(packed, key_p, rank, geom, hole)
+        return (_scatter_class(packed, key_p, rank, 0, geom, hole),
+                _scatter_class(packed, key_p, rank, cap, geom, hole))
 
     # butterfly: lane-major [nyp, F, nzx * 2cap] with slot = cell*2cap
     # + rank (k-minor), scatter fallback on rank overflow inside
@@ -371,58 +410,62 @@ def _expand_tables(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
     return _fold_pairs(t5, geom)
 
 
-def _fold_pairs(t5: jax.Array, geom: PlaneGeom
-                ) -> Tuple[jax.Array, jax.Array]:
-    """[F, nyp_pad, nc, 2cap(rank), CW] -> the two class tables
+def _fold_pairs_single(t5: jax.Array, geom: PlaneGeom) -> jax.Array:
+    """[F, nyp_pad, nc, cap(rank-in-class), CW] -> one class table
     [F, nyq, nc, 2cap(parity*cap+k), CW].
 
-    Built as a class slice + a row-parity transpose whose (cap, CW)
-    inner blocks move WHOLESALE — a coarse-grained copy at memory
-    bandwidth, unlike a single fused 7D transpose with a sub-8 sublane
-    minor dim, which XLA materializes at 2x tile padding and ~4x cost
-    (measured: 25.6 vs 6.4 ms table build at 131k)."""
+    A row-parity transpose whose (cap, CW) inner blocks move WHOLESALE
+    — a coarse-grained copy at memory bandwidth, unlike a single fused
+    7D transpose with a sub-8 sublane minor dim, which XLA
+    materializes at 2x tile padding and ~4x cost (measured: 25.6 vs
+    6.4 ms table build at 131k)."""
     f = t5.shape[0]
     cap = geom.cap
-    outs = []
-    for cls in range(2):
-        tc = t5[:, :, :, cls * cap:(cls + 1) * cap, :]
-        tc = tc.reshape(f, geom.nyq, 2, geom.n_chunks, cap, geom.cw)
-        tc = jnp.transpose(tc, (0, 1, 3, 2, 4, 5))
-        outs.append(tc.reshape(f, geom.nyq, geom.n_chunks,
-                               geom.s_slots, geom.cw))
-    return outs[0], outs[1]
+    tc = t5.reshape(f, geom.nyq, 2, geom.n_chunks, cap, geom.cw)
+    tc = jnp.transpose(tc, (0, 1, 3, 2, 4, 5))
+    return tc.reshape(f, geom.nyq, geom.n_chunks, geom.s_slots, geom.cw)
 
 
-def _scatter_tables(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
-                    geom: PlaneGeom, hole: jax.Array
-                    ) -> Tuple[jax.Array, jax.Array]:
-    """General-case per-field 1D scatters into k-MAJOR flat tables over
-    the lane-PADDED cell space (so the tail lanes beyond nzx carry the
+def _fold_pairs(t5: jax.Array, geom: PlaneGeom
+                ) -> Tuple[jax.Array, jax.Array]:
+    """[F, nyp_pad, nc, 2cap(rank), CW] -> the two class tables (class
+    slice + parity fold)."""
+    cap = geom.cap
+    return (_fold_pairs_single(t5[:, :, :, :cap, :], geom),
+            _fold_pairs_single(t5[:, :, :, cap:, :], geom))
+
+
+def _scatter_class(packed: jax.Array, key_p: jax.Array, rank: jax.Array,
+                   rank_off: int, geom: PlaneGeom, hole: jax.Array
+                   ) -> jax.Array:
+    """General-case per-field 1D scatters for ONE rank class (ranks
+    [rank_off, rank_off + cap)) into k-MAJOR flat tables over the
+    lane-PADDED cell space (so the tail lanes beyond nzx carry the
     hole fill, not junk).  Both ``lax.cond`` branches in
     ``_expand_tables`` keep the same cells-minor layout — mixing a
     k-minor branch in makes XLA tile the whole cond output at 16x
     padding (27 GB HBM; see PERF.md finding 8)."""
     cap = geom.cap
-    k2c = 2 * cap
     f = packed.shape[1]
     ppc = geom.nyp_pad * geom.nzxp
-    total = k2c * ppc
+    total = cap * ppc
     yp = key_p // geom.nzx
     lane = key_p - yp * geom.nzx
     key_pp = jnp.where(key_p < geom.padded_cells,
                        yp * geom.nzxp + lane, ppc)
-    in2 = (rank < k2c) & (key_pp < ppc)
-    slot2 = jnp.where(in2, rank * ppc + key_pp, total)
+    rk = rank - rank_off
+    in2 = (rk >= 0) & (rk < cap) & (key_pp < ppc)
+    slot2 = jnp.where(in2, rk * ppc + key_pp, total)
     fields = []
     for i in range(f):
         t = jnp.full((total + 1,), hole[i], jnp.float32)
         t = t.at[slot2].set(packed[:, i], mode="drop",
                             unique_indices=True)
         fields.append(t[:total])
-    t8 = jnp.stack(fields)                     # [F, 2cap * PPC]
-    t5 = t8.reshape(f, k2c, geom.nyp_pad, geom.n_chunks, geom.cw)
+    t8 = jnp.stack(fields)                     # [F, cap * PPC]
+    t5 = t8.reshape(f, cap, geom.nyp_pad, geom.n_chunks, geom.cw)
     t5 = jnp.transpose(t5, (0, 2, 3, 1, 4))
-    return _fold_pairs(t5, geom)
+    return _fold_pairs_single(t5, geom)
 
 
 def _window_occ(counts_p: jax.Array, geom: PlaneGeom
