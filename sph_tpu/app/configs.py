@@ -86,5 +86,9 @@ def build(cfg: BenchConfig, seed: int = 0, neighbor_impl: Optional[str] = None):
                              np.asarray(cfg.box_euler_deg), cfg.h,
                              cap=cfg.grid_cap)
     sim = SimConfig(n=state.n, grid_dims=dims, neighbor_impl=impl,
-                    cell_capacity=cfg.cell_capacity)
+                    cell_capacity=cfg.cell_capacity,
+                    # static fluid-row bound for the output gather
+                    # (ghosts/pad never gather)
+                    n_fluid=int(spawn.count) - (
+                        int(shell.count) if cfg.ghosts else 0))
     return state, params, sim

@@ -330,6 +330,12 @@ class SimConfig:
     plane_max_cwh: int = 1536              # pallas plane chunk width cap:
                                            # smaller = finer occupancy
                                            # gating, more halo overhead
+    n_fluid: int = 0                       # static UPPER bound on fluid
+                                           # rows (0 = n): sorted fluid
+                                           # rows come first, so the
+                                           # output gather touches only
+                                           # these (ghost/pad rows are
+                                           # reassembled maskwise)
 
     @property
     def num_cells(self) -> int:

@@ -721,11 +721,20 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
 
     # --- one row gather back to (sorted) particle order ---
     # (measured at 1M, see PERF.md 10: XLA row gather beats every MXU
-    # one-hot / transposed / monotone-index variant tried)
+    # one-hot / transposed / monotone-index variant tried).  Row-gather
+    # cost scales with ROW COUNT, and sorted fluid rows come first
+    # (ghosts/invalid spill to key=num_cells), so gather only the
+    # static fluid upper bound and zero-fill the tail (those rows are
+    # reassembled from their own fallback paths below anyway).
+    n = s.key.shape[0]
+    nf = config.n_fluid if 0 < config.n_fluid < n else n
     sa = jnp.concatenate([out_a, rho_a[None]], axis=0).reshape(10, -1)
     sb = jnp.concatenate([out_b, rho_b[None]], axis=0).reshape(10, -1)
     per = jnp.concatenate([sa, sb], axis=1).T[
-        PL.out_flat_index(s, geom)]                           # [N, 10]
+        PL.out_flat_index(s, geom)[:nf]]                      # [nf, 10]
+    if nf < n:
+        per = jnp.concatenate(
+            [per, jnp.zeros((n - nf, 10), jnp.float32)], axis=0)
 
     new_pos = per[:, 0:3]
     new_vel = per[:, 3:6]       # xsph + speed cap applied in-kernel
