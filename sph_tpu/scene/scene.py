@@ -77,6 +77,10 @@ class Scene:
         self.camera: OrbitCamera = fit_camera(self.settings.box_half)
         self.stencil_targets: Optional[np.ndarray] = None
         self.mesh_obj_path: str = ""     # OBJ asset for render mode 2
+        self.auto_recover: bool = True   # NaN watchdog (SURVEY §5.3)
+        self.watchdog_every: int = 30    # frames between probes
+        self._frame_index = 0
+        self._last_checkpoint: str = ""
         self.river_spec = None
         self.post_state = None
         self.last_frame_dt = 1.0 / 60.0
@@ -194,7 +198,37 @@ class Scene:
         self.params = params
         self.sim_time += frame_dt
         self.last_frame_dt = frame_dt
+        self._frame_index += 1
+        if (self.auto_recover and n_sub > 0
+                and self._frame_index % self.watchdog_every == 0):
+            self._watchdog_check()
         return n_sub
+
+    # --- failure containment (SURVEY §5.3) ------------------------------
+
+    def _watchdog_check(self) -> None:
+        """NaN/blowup watchdog: the physics clamps (density floor,
+        pressure clamp, CFL cap) make divergence unlikely, but bad live
+        parameter edits (dt spikes, giant impulses) can still blow the
+        state up.  Detection samples a position slice every
+        ``watchdog_every`` frames (one small device sync); recovery
+        reloads the last good checkpoint when one was saved this
+        session, else respawns — and logs loudly either way.  The
+        reference has no equivalent (a NaN'd GL buffer just renders
+        garbage forever)."""
+        import numpy as _np
+        probe = _np.asarray(self.state.pos[:1024])
+        if _np.isfinite(probe).all():
+            return
+        from sph_tpu.utils import log
+        if self._last_checkpoint and os.path.exists(self._last_checkpoint):
+            log.error(f"watchdog: non-finite state at t={self.sim_time:.3f}"
+                      f" — restoring checkpoint {self._last_checkpoint}")
+            self.load_checkpoint(self._last_checkpoint)
+        else:
+            log.error(f"watchdog: non-finite state at t={self.sim_time:.3f}"
+                      f" — respawning")
+            self.respawn()
 
     # --- river mode ----------------------------------------------------
 
@@ -375,6 +409,7 @@ class Scene:
     # --- checkpointing (new capability, SURVEY.md §5.4) ---------------
 
     def save_checkpoint(self, path: str) -> None:
+        self._last_checkpoint = path     # watchdog recovery target
         st = self.state
         np.savez_compressed(
             path,

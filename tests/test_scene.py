@@ -246,3 +246,36 @@ def test_key_controller_live_controls():
     # no TTY: the context manager is inert and poll() is a no-op True
     with kc:
         assert kc.poll()
+
+
+def test_watchdog_recovers_from_nonfinite_state(tmp_path):
+    """Failure containment (SURVEY §5.3): the NaN watchdog detects a
+    blown-up state and restores the last checkpoint (or respawns)."""
+    import jax.numpy as jnp
+    from sph_tpu.scene.scene import Scene
+
+    scene = Scene()
+    scene.settings = dataclasses.replace(scene.settings,
+                                         particle_count=256)
+    scene.respawn()
+    scene.watchdog_every = 1
+
+    ckpt = str(tmp_path / "good.npz")
+    scene.save_checkpoint(ckpt)
+
+    # blow the state up (a bad live edit analogue)
+    scene.state = scene.state.replace(
+        pos=scene.state.pos.at[0, 0].set(jnp.nan))
+    scene.update(1.0 / 60.0)
+    assert np.isfinite(np.asarray(scene.state.pos)).all()
+
+    # without a checkpoint it respawns instead
+    scene2 = Scene()
+    scene2.settings = dataclasses.replace(scene2.settings,
+                                          particle_count=256)
+    scene2.respawn()
+    scene2.watchdog_every = 1
+    scene2.state = scene2.state.replace(
+        pos=scene2.state.pos.at[0, 0].set(jnp.nan))
+    scene2.update(1.0 / 60.0)
+    assert np.isfinite(np.asarray(scene2.state.pos)).all()
