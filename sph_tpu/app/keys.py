@@ -13,7 +13,16 @@ preset and sequencer paths use, so nothing here needs a recompile.
     r            respawn              f            fountain toggle
     t            attractor toggle     b            audio-drive toggle
     a/d w/s      orbit yaw / pitch    - / =        zoom out / in
-    h            print this help
+    u / U        quick-set stable / splashy water
+    p            parameter-edit mode  h            print this help
+
+Parameter-edit mode ('p') exposes the FULL preset schema (~140 keys:
+physics, container, look, water, post-FX, motion, audio — the ImGui
+panel equivalent): j/k select next/prev param, J/K jump by 10,
++/- step the value, 0 resets it to default, p exits.  Edits route
+through ``apply_settings``, so structural params (count, mix, jitter)
+respawn exactly like the reference's pendingReset
+(``Scene0p.h:95-99``); everything else morphs live.
 
 Reads are non-blocking (termios raw mode + select); on a non-TTY stdin
 the controller is inert, so piping/CI is unaffected.
@@ -22,11 +31,27 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-from typing import Optional
+from typing import List, Optional, Tuple
 
-HELP = __doc__.split("\n\n")[-2] if __doc__ else ""
+HELP = "\n\n".join(__doc__.split("\n\n")[-3:-1]) if __doc__ else ""
 
 N_PALETTES = 24
+
+
+def param_entries() -> List[Tuple[str, str, str, Optional[int], bool]]:
+    """The live-editable parameter table, derived from the preset schema
+    (``PRESET_FIELDS``): (label, attr, kind, component, structural).
+    f3 fields unroll to .x/.y/.z rows; strings are not key-editable."""
+    from sph_tpu.scene.settings import PRESET_FIELDS
+    entries = []
+    for key, attr, kind, structural in PRESET_FIELDS:
+        if kind in ("f", "i", "b"):
+            entries.append((key, attr, kind, None, structural))
+        elif kind == "f3":
+            for i in range(3):
+                entries.append((f"{key}.{'xyz'[i]}", attr, "f", i,
+                                structural))
+    return entries
 
 
 class KeyController:
@@ -36,6 +61,10 @@ class KeyController:
         self.scene = scene
         self.out = out
         self.paused = False
+        self.param_mode = False
+        self.param_idx = 0
+        self._params = param_entries()
+        self._defaults = None   # lazy SceneSettings() for '0' reset
         self._fd: Optional[int] = None
         self._saved = None
 
@@ -88,6 +117,20 @@ class KeyController:
         s = scene.settings
         if ch == "q":
             return False
+        elif ch == "p":
+            self.param_mode = not self.param_mode
+            if self.param_mode:
+                self._say("param mode: j/k select, J/K jump, +/- step, "
+                          "0 default, p exit")
+                self._show_param()
+            else:
+                self._say("param mode off")
+        elif self.param_mode and ch in "jkJK+=-_0":
+            self._handle_param(ch)
+        elif ch == "u":
+            self._quickset("stable")
+        elif ch == "U":
+            self._quickset("splashy")
         elif ch == " ":
             self.paused = not self.paused
             self._say("paused" if self.paused else "resumed")
@@ -138,6 +181,81 @@ class KeyController:
         elif ch == "h":
             print(HELP, file=self.out)
         return True
+
+    # --- parameter-edit mode (the ImGui slider panel equivalent) ---
+
+    def _handle_param(self, ch: str) -> None:
+        n = len(self._params)
+        if ch == "j":
+            self.param_idx = (self.param_idx + 1) % n
+            self._show_param()
+        elif ch == "k":
+            self.param_idx = (self.param_idx - 1) % n
+            self._show_param()
+        elif ch == "J":
+            self.param_idx = (self.param_idx + 10) % n
+            self._show_param()
+        elif ch == "K":
+            self.param_idx = (self.param_idx - 10) % n
+            self._show_param()
+        elif ch in "+=":
+            self._step_param(+1)
+        elif ch in "-_":
+            self._step_param(-1)
+        elif ch == "0":
+            self._reset_param()
+
+    def _param_value(self, s):
+        _, attr, _, comp, _ = self._params[self.param_idx]
+        v = getattr(s, attr)
+        return v[comp] if comp is not None else v
+
+    def _set_param(self, value) -> None:
+        """Write through apply_settings so structural edits respawn
+        (Scene0p.h:95-99) and live edits morph without reset."""
+        label, attr, kind, comp, structural = self._params[self.param_idx]
+        s = self.scene.settings
+        if comp is not None:
+            triple = list(getattr(s, attr))
+            triple[comp] = float(value)
+            self._apply(s, **{attr: triple})
+        elif kind == "i":
+            self._apply(s, **{attr: int(value)})
+        elif kind == "b":
+            self._apply(s, **{attr: bool(value)})
+        else:
+            self._apply(s, **{attr: float(value)})
+        self._show_param(" (respawn)" if structural else "")
+
+    def _step_param(self, sign: int) -> None:
+        _, _, kind, _, _ = self._params[self.param_idx]
+        v = self._param_value(self.scene.settings)
+        if kind == "b":
+            self._set_param(not v)
+        elif kind == "i":
+            self._set_param(int(v) + sign)
+        else:
+            step = max(abs(float(v)) * 0.1, 0.01)
+            self._set_param(float(v) + sign * step)
+
+    def _reset_param(self) -> None:
+        if self._defaults is None:
+            from sph_tpu.scene.settings import SceneSettings
+            self._defaults = SceneSettings()
+        self._set_param(self._param_value(self._defaults))
+
+    def _show_param(self, note: str = "") -> None:
+        label, _, kind, _, structural = self._params[self.param_idx]
+        v = self._param_value(self.scene.settings)
+        tag = " [structural]" if structural else ""
+        self._say(f"({self.param_idx + 1}/{len(self._params)}) "
+                  f"{label} = {v}{tag}{note}")
+
+    def _quickset(self, name: str) -> None:
+        from sph_tpu.scene.quicksets import apply_quickset
+        self.scene.settings = apply_quickset(self.scene.settings, name)
+        self.scene.pending_reset = True   # Scene0p.cpp:834,849
+        self._say(f"quick-set: {name} water (respawn queued)")
 
     def _apply(self, s, **kw):
         self.scene.apply_settings(dataclasses.replace(s, **kw))

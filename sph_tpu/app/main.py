@@ -35,6 +35,9 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--river", action="store_true",
                    help="river mode: procedural canyon + stream recycling")
+    p.add_argument("--quickset", default="",
+                   choices=["", "stable", "splashy"],
+                   help="physics quick-set bundle (Scene0p.cpp:824-850)")
 
 
 def _build_scene(args):
@@ -58,6 +61,10 @@ def _build_scene(args):
             sys.exit(f"preset not found: {args.preset}")
     if getattr(args, "river", False):
         scene.enable_river(args.seed)
+    if getattr(args, "quickset", ""):
+        from sph_tpu.scene.quicksets import apply_quickset
+        scene.settings = apply_quickset(scene.settings, args.quickset)
+        scene.respawn()   # the reference queues pendingReset
     return scene
 
 
@@ -151,7 +158,13 @@ def cmd_reel(args) -> None:
             print(f"reel {i}/{n}  {el:.0f}s elapsed, ~{eta:.0f}s left",
                   file=sys.stderr)
 
-    res = export_reel(scene, cfg, progress=progress)
+    if getattr(args, "preview", False):
+        from sph_tpu.scene.reel import preview_reel
+        ww, wh = (int(v) for v in args.window.lower().split("x"))
+        res = preview_reel(scene, cfg, window_w=ww, window_h=wh,
+                           progress=progress)
+    else:
+        res = export_reel(scene, cfg, progress=progress)
     if not res.ok:
         sys.exit(f"reel export failed: {res.error}")
     print(json.dumps({"frames": res.frames_written,
@@ -218,6 +231,11 @@ def main(argv=None) -> None:
     p.add_argument("--substep-cap", type=int, default=0)
     p.add_argument("--drop-presets", default="",
                    help="comma-separated preset names cued on bass drops")
+    p.add_argument("--preview", action="store_true",
+                   help="reduced-res preview fitted to --window before "
+                        "committing to a full export (Scene0p.cpp:3227)")
+    p.add_argument("--window", default="960x540",
+                   help="preview window size WxH")
     p.set_defaults(fn=cmd_reel)
 
     p = sub.add_parser("screenshot", help="one high-res still")

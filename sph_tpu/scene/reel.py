@@ -109,6 +109,36 @@ def export_reel(scene: Scene, cfg: ReelConfig,
     return out
 
 
+def preview_size(reel_w: int, reel_h: int,
+                 window_w: int, window_h: int) -> tuple:
+    """Fit the reel aspect into the window — the reference's
+    ``EnsurePreviewTarget`` sizing math (``Scene0p.cpp:3240-3247``):
+    fill window height at aspect reelW:reelH, shrink to window width if
+    that overflows, floor at 2 px."""
+    aspect = float(reel_w) / float(reel_h)
+    ph = window_h
+    pw = int(round(ph * aspect))
+    if pw > window_w:
+        pw = window_w
+        ph = int(round(pw / aspect))
+    return max(2, pw), max(2, ph)
+
+
+def preview_reel(scene: Scene, cfg: ReelConfig,
+                 window_w: int = 960, window_h: int = 540,
+                 progress: Optional[Callable[[int, int], None]] = None,
+                 analysis: Optional[ReelAnalysis] = None) -> ReelResult:
+    """Reduced-res reel preview before committing to the full export
+    (the reference previews into a window-fitted FBO,
+    ``Scene0p.cpp:3227-3280``).  Same deterministic pipeline, smaller
+    frames, no supersample, frames under ``<out_dir>_preview``."""
+    pw, ph = preview_size(cfg.width, cfg.height, window_w, window_h)
+    pcfg = dataclasses.replace(
+        cfg, width=pw, height=ph, supersample=1,
+        out_dir=cfg.out_dir.rstrip("/") + "_preview")
+    return export_reel(scene, pcfg, progress=progress, analysis=analysis)
+
+
 def _write_mux_script(cfg: ReelConfig) -> str:
     """ffmpeg mux of frames + audio (the reference's mux_reel.bat,
     ``Scene0p.cpp:3454-3502``, as a POSIX shell script)."""

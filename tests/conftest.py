@@ -23,6 +23,33 @@ assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"
 
 
+# --- fast/slow tiers (round-2 verdict weak #4) -------------------------
+# Interpret-mode Pallas kernels run the full Mosaic program element-wise
+# on CPU — minutes per test.  Default `pytest tests/ -q` is the fast tier
+# (<10 min); `--runslow` adds the slow tier (full-suite green is still
+# required before any end-of-round snapshot, see CLAUDE.md).
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run slow tests (interpret-mode Pallas/slab oracles)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode Pallas/slab oracle tests (minutes each)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier (run with --runslow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def dam_break_small():
     """Shared 2k-particle dam-break fixture (config-1 analogue, CPU-sized)."""

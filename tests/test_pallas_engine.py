@@ -3,6 +3,8 @@ CPU; the same kernels run compiled on TPU — scripts/check_pallas.py)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow   # interpret-mode Mosaic: minutes/test
+
 from sph_tpu.core import state as S
 from sph_tpu.core.params import (FluidParams, SimConfig, compute_grid_dims,
                                  SHAPE_BOX)

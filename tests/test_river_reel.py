@@ -93,3 +93,39 @@ def test_reel_export_bad_track(tmp_path):
                                       out_dir=str(tmp_path)))
     assert not r.ok
     assert r.error
+
+def test_preview_size_fit():
+    """EnsurePreviewTarget sizing math (Scene0p.cpp:3240-3247): fill
+    window height at the reel aspect, shrink to width on overflow."""
+    from sph_tpu.scene.reel import preview_size
+    # portrait 1080x1920 reel into a 960x540 landscape window
+    pw, ph = preview_size(1080, 1920, 960, 540)
+    assert (pw, ph) == (304, 540)
+    # landscape reel wider than window: width-limited
+    pw, ph = preview_size(1920, 1080, 960, 540)
+    assert (pw, ph) == (960, 540)
+    pw, ph = preview_size(1920, 1080, 500, 540)
+    assert (pw, ph) == (500, 281)
+    # degenerate windows floor at 2
+    assert preview_size(1080, 1920, 1, 1) == (2, 2)
+
+
+def test_reel_preview_reduced_res(tmp_path):
+    """reel --preview (VERDICT r2 missing #3): same deterministic
+    pipeline at window-fitted reduced res, frames in <out>_preview."""
+    from sph_tpu.scene.reel import preview_reel
+
+    s = SceneSettings()
+    s.particle_count = 1000
+    s.audio_enabled = True
+    s.time_step = 4e-3
+    scene = Scene(settings=s, neighbor_impl="cell", seed=1)
+    cfg = ReelConfig(track_path="", out_dir=str(tmp_path / "reel"),
+                     fps=30, width=1080, height=1920, supersample=2)
+    r = preview_reel(scene, cfg, window_w=96, window_h=64,
+                     analysis=_synthetic_analysis(2))
+    assert r.ok and r.frames_written == 2
+    from PIL import Image
+    img = Image.open(tmp_path / "reel_preview" / "frame_00000.png")
+    assert img.size == (36, 64)    # 1080:1920 aspect into 96x64
+    assert not os.path.exists(tmp_path / "reel")   # full export untouched

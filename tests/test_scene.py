@@ -248,6 +248,7 @@ def test_key_controller_live_controls():
         assert kc.poll()
 
 
+@pytest.mark.slow
 def test_watchdog_recovers_from_nonfinite_state(tmp_path):
     """Failure containment (SURVEY §5.3): the NaN watchdog detects a
     blown-up state and restores the last checkpoint (or respawns)."""
@@ -279,3 +280,124 @@ def test_watchdog_recovers_from_nonfinite_state(tmp_path):
         pos=scene2.state.pos.at[0, 0].set(jnp.nan))
     scene2.update(1.0 / 60.0)
     assert np.isfinite(np.asarray(scene2.state.pos)).all()
+
+def test_quicksets_match_reference_bundles():
+    """Stable/Splashy Water one-clicks (Scene0p.cpp:824-850)."""
+    from sph_tpu.scene.quicksets import QUICKSETS, apply_quickset
+    from sph_tpu.scene.settings import SceneSettings
+
+    s = SceneSettings()
+    st = apply_quickset(s, "stable")
+    assert (st.h, st.gas_constant, st.viscosity) == (0.28, 2000.0, 3.5)
+    assert st.surface_tension == 0.0 and st.time_step == 1e-3
+
+    sp = apply_quickset(s, "splashy")
+    assert (sp.h, sp.gas_constant, sp.viscosity) == (0.22, 6000.0, 1.2)
+    assert sp.surface_tension == 0.12 and sp.time_step == 5e-4
+    assert not sp.use_jitter and sp.wall_restitution == 0.05
+    assert set(QUICKSETS) == {"stable", "splashy"}
+
+    with pytest.raises(KeyError):
+        apply_quickset(s, "nope")
+
+
+def test_key_controller_quickset_and_param_mode():
+    """Param-edit mode (VERDICT r2 missing #1): the full preset schema
+    is key-editable; structural edits respawn, live edits morph."""
+    from sph_tpu.app.keys import KeyController, param_entries
+    from sph_tpu.scene.scene import Scene
+
+    scene = Scene()
+    scene.settings = dataclasses.replace(scene.settings,
+                                         particle_count=256)
+    scene.respawn()
+    kc = KeyController(scene, out=open(os.devnull, "w"))
+
+    # quick-set key: splashy bundle + queued respawn
+    kc.handle("U")
+    assert scene.settings.gas_constant == 6000.0
+    assert scene.pending_reset
+    scene.pending_reset = False
+
+    # the schema is fully exposed (~140 keys; f3 unrolls to 3 rows)
+    entries = param_entries()
+    assert len(entries) > 140
+    labels = [e[0] for e in entries]
+    assert "sim.gasConstant" in labels and "fx.bloom" in labels
+    assert "box.half.y" in labels and "audio.bassForce" in labels
+
+    # enter param mode, select sim.gasConstant, step it up live
+    kc.handle("p")
+    assert kc.param_mode
+    kc.param_idx = labels.index("sim.gasConstant")
+    g0 = scene.settings.gas_constant
+    kc.handle("+")
+    assert scene.settings.gas_constant == pytest.approx(g0 * 1.1)
+    assert not scene.pending_reset          # live param: no respawn
+    kc.handle("0")                          # reset to schema default
+    assert scene.settings.gas_constant == 2000.0
+
+    # f3 component edit
+    kc.param_idx = labels.index("box.half.y")
+    h0 = scene.settings.box_half[1]
+    kc.handle("-")
+    assert scene.settings.box_half[1] == pytest.approx(h0 - h0 * 0.1)
+
+    # int + bool kinds
+    kc.param_idx = labels.index("water.smoothIter")
+    it0 = scene.settings.smooth_iterations
+    kc.handle("+")
+    assert scene.settings.smooth_iterations == it0 + 1
+    kc.param_idx = labels.index("look.skyOn")
+    sky0 = scene.settings.sky_on
+    kc.handle("+")
+    assert scene.settings.sky_on != sky0
+
+    # structural param respawns through apply_settings
+    n0 = scene.state.pos.shape[0]
+    kc.param_idx = labels.index("sim.particleCount")
+    kc.handle("+")
+    assert scene.settings.particle_count == 257
+
+    # keys j/k navigate; 'p' exits; zoom keys work again after exit
+    i0 = kc.param_idx
+    kc.handle("j")
+    assert kc.param_idx == (i0 + 1) % len(entries)
+    kc.handle("K")
+    assert kc.param_idx == (i0 + 1 - 10) % len(entries)
+    kc.handle("p")
+    assert not kc.param_mode
+    d0 = scene.camera.distance
+    kc.handle("-")
+    assert scene.camera.distance == pytest.approx(d0 * 1.1)
+
+def test_shipped_presets_load_and_apply():
+    """The repo ships curated presets/*.txt (VERDICT r2 missing #4) —
+    one per art preset, regenerable bit-for-bit by
+    scripts/gen_presets.py."""
+    import glob
+
+    from sph_tpu.scene.art_presets import (ART_PRESET_NAMES,
+                                           apply_art_preset)
+    from sph_tpu.scene.settings import (SceneSettings, apply_preset,
+                                        gather_preset)
+
+    root = os.path.join(os.path.dirname(__file__), "..", "presets")
+    files = sorted(glob.glob(os.path.join(root, "*.txt")))
+    assert len(files) >= len(ART_PRESET_NAMES)
+
+    for path in files:
+        kv = pio.load_file(path)
+        assert kv is not None, path
+        s = apply_preset(SceneSettings(), kv)
+        assert 1000 <= s.particle_count <= 4_000_000
+        assert 0 <= s.shape_type <= 9
+
+    # shipped files == regenerated files (deterministic writer)
+    for i, name in enumerate(ART_PRESET_NAMES):
+        path = os.path.join(root, f"{pio.sanitize_name(name)}.txt")
+        with open(path) as f:
+            on_disk = f.read()
+        fresh = pio.serialize(gather_preset(
+            apply_art_preset(SceneSettings(), i)))
+        assert on_disk == fresh, f"{name} drifted from its generator"
