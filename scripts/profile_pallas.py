@@ -49,8 +49,8 @@ occ_rows = ft.occ_rows if gt is None else (
 pvec = K._make_pvec(params, params.dt)
 
 rho_a, rho_b = K.density_call(ft, occ_rows, gt, pvec, geom, interp)
-out_a, out_b = K.force_xsph_call(ft, occ_rows, rho_a, rho_b, gt, pvec,
-                                 geom, interp)
+out_a, out_b, _ = K.force_xsph_call(ft, occ_rows, rho_a, rho_b, gt,
+                                    pvec, geom, interp)
 
 
 def timed(name, fn, *args):
@@ -112,11 +112,34 @@ timed("density_kernel", scanned(density_body), pvec, ft, gt, occ_rows)
 
 
 def force_body(pv, t, g, occ, ra, rb):
-    oa, ob = K.force_xsph_call(t, occ, ra, rb, g, pv, geom, interp)
+    oa, ob, _ = K.force_xsph_call(t, occ, ra, rb, g, pv, geom, interp)
     return pv + (oa[0, 0, 0, 0, 0] + ob[0, 0, 0, 0, 0]) * 1e-20
 
 timed("force+xsph_kernel", scanned(force_body), pvec, ft, gt, occ_rows,
       rho_a, rho_b)
+
+# --- compact-grid sweep variants (PERF.md roofline fix #2) ---
+ma = K._max_active(geom, sim)
+if ma:
+    qc_l, n_act = K.active_block_list(occ_rows, geom, ma)
+    print(f"active blocks: {int(np.asarray(n_act))}/"
+          f"{geom.nyq * geom.n_chunks} (cap {ma})", file=sys.stderr)
+
+    def density_compact(pv, t, g, occ, qc):
+        ra, rb = K.density_call(t, occ, g, pv, geom, interp,
+                                qc=qc, n_prog=ma)
+        return pv + (ra[0, 0, 0, 0] + rb[0, 0, 0, 0]) * 1e-20
+
+    timed("density_kernel(cmpct)", scanned(density_compact), pvec, ft,
+          gt, occ_rows, qc_l)
+
+    def force_compact(pv, t, g, occ, ra, rb, qc):
+        oa, ob, _ = K.force_xsph_call(t, occ, ra, rb, g, pv, geom,
+                                      interp, qc=qc, n_prog=ma)
+        return pv + (oa[0, 0, 0, 0, 0] + ob[0, 0, 0, 0, 0]) * 1e-20
+
+    timed("force+xsph(cmpct)", scanned(force_compact), pvec, ft, gt,
+          occ_rows, rho_a, rho_b, qc_l)
 
 
 def gather_body(x, oa, ob, ra, rb, s_):
@@ -129,6 +152,47 @@ def gather_body(x, oa, ob, ra, rb, s_):
 
 timed("output_gather(rows)", scanned(gather_body), jnp.float32(1.0),
       out_a, out_b, rho_a, rho_b, s)
+
+# --- row-emit variant (PERF.md roofline fix #4): force+xsph with the
+# in-kernel particle-row emit + the monotone reorder replacing the
+# table row gather ---
+if getattr(sim, "emit_rows", True):
+    from sph_tpu.neighbors import mxu_permute as MX
+    tile_e = int(getattr(sim, "emit_tile", 64))
+    pc_e = PL.padded_cell_index(s.key, geom)
+    key_pe = jnp.where(s.key < geom.num_cells, pc_e, geom.padded_cells)
+    win_e, slot_e, wst_e, wdst_e = MX.emit_window_ids(key_pe, s.rank,
+                                                      geom, tile_e)
+    n_emit = s.key.shape[0] + tile_e * (wst_e.shape[0] - 1)
+    erows = MX.emit_rows_build(slot_e, tile_e)
+
+    def force_emit(pv, t, g, occ, ra, rb, er, ws, wd):
+        oa, ob, em = K.force_xsph_call(
+            t, occ, ra, rb, g, pv, geom, interp,
+            emit=(er, ws, wd, n_emit, tile_e))
+        return pv + (oa[0, 0, 0, 0, 0] + em[0, 0]) * 1e-20
+
+    timed("force+xsph(emit)", scanned(force_emit), pvec, ft, gt,
+          occ_rows, rho_a, rho_b, erows, wst_e, wdst_e)
+
+    _, _, em_once = jax.jit(
+        lambda t, occ, ra, rb, er, ws, wd: K.force_xsph_call(
+            t, occ, ra, rb, gt, pvec, geom, interp,
+            emit=(er, ws, wd, n_emit, tile_e))
+    )(ft, occ_rows, rho_a, rho_b, erows, wst_e, wdst_e)
+
+    def reorder_body(x, em, ws, wd, wn, s_):
+        n_ = s_.key.shape[0]
+        iota = jnp.arange(n_, dtype=jnp.int32)
+        # thread the scan dependency through the (tiny) starts array,
+        # not the 1 GB emit buffer
+        ws = ws + (x * 1e-20).astype(jnp.int32)
+        dst = jnp.clip(wd[wn] + (iota - ws[wn]), 0, n_emit - 1)
+        per = em[dst, :10]
+        return (per[:, 0] * 1e-20).sum() + x * 1.0000001
+
+    timed("emit_reorder(mono)", scanned(reorder_body), jnp.float32(1.0),
+          em_once, wst_e, wdst_e, win_e, s)
 
 
 def full_body(st, p, ax):

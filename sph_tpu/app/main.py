@@ -24,7 +24,8 @@ import time
 def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--particles", type=int, default=50000)
     p.add_argument("--impl", default="auto",
-                   choices=["auto", "brute", "cell", "binned", "pallas"],
+                   choices=["auto", "brute", "brute_pallas", "cell",
+                            "binned", "pallas"],
                    help="auto = pallas on TPU, binned elsewhere "
                         "(interpret-mode pallas on CPU is debug-only)")
     p.add_argument("--shape", type=int, default=0, help="shape type 0-9")

@@ -336,6 +336,18 @@ class SimConfig:
                                            # output gather touches only
                                            # these (ghost/pad rows are
                                            # reassembled maskwise)
+    sweep_active_frac: float = 0.625       # compact-grid cap as a
+                                           # fraction of (q, c) blocks;
+                                           # <=0 or >=1 = dense sweeps
+                                           # only (PERF.md roofline #2)
+    emit_rows: bool = True                 # force kernel streams its
+                                           # outputs straight to
+                                           # window-padded particle
+                                           # rows instead of the
+                                           # per-substep table row
+                                           # gather (roofline #4)
+    emit_tile: int = 64                    # emit DMA tile (rows);
+                                           # <=0 disables emit
 
     @property
     def num_cells(self) -> int:

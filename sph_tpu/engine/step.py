@@ -54,6 +54,9 @@ def sph_solve(state: ParticleState, params: FluidParams, dt: jax.Array,
     ghost tables, built once per frame by :func:`neighbor_aux`)."""
     if config.neighbor_impl == "brute":
         return brute_force.substep(state, params, dt)
+    if config.neighbor_impl == "brute_pallas":
+        from sph_tpu.physics import brute_pallas
+        return brute_pallas.substep(state, params, dt)
     if config.neighbor_impl == "cell":
         return cell_solver.substep(state, params, dt, config)
     if config.neighbor_impl == "binned":

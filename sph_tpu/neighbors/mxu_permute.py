@@ -93,42 +93,108 @@ def expand_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
     return win, in_slot, starts, overflow
 
 
+def emit_window_ids(key_p: jax.Array, rank: jax.Array, geom: PlaneGeom,
+                    tile: int, cells_per_block: int = 128
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Window machinery for the force kernel's ROW-EMIT tail (PERF.md
+    roofline fix #4): per sorted particle (window id, COMBINED
+    slot-in-window, starts[NW+1], padded dst starts[NW+1]).
+
+    The combined slot spans BOTH rank classes of one window:
+    ``[0, cap*cpb)`` = class A (rank-major), ``[cap*cpb, 2*cap*cpb)`` =
+    class B, ``2*cap*cpb`` = no slot (overflow ranks emit zero rows).
+    Unlike the expand there is NO ``max_p`` bound — the kernel streams
+    ``ceil(cnt / tile)`` tiles per window, so ``dst`` regions are
+    per-window ``tile``-aligned (disjoint => in-flight DMAs never
+    race) and the total emitted bound is the static
+    ``n + tile * n_windows``."""
+    cpb = cells_per_block
+    nsc, nw, s_blk = expand_windows(geom, cpb)
+    cps = geom.nzx
+    yp = key_p // cps
+    cir = key_p - yp * cps
+    chunk = cir // cpb
+    member = key_p < geom.padded_cells
+    win = jnp.where(member, yp * nsc + chunk, nw)
+    cell = cir - chunk * cpb
+    k2c = 2 * geom.cap
+    slot = jnp.where(
+        member & (rank < k2c), rank * cpb + cell, k2c * cpb)
+    counts = jnp.zeros((nw + 1,), jnp.int32).at[win].add(1, mode="drop")
+    starts = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts[:nw], dtype=jnp.int32)])
+    tiles = -((-counts[:nw]) // tile)           # ceil(cnt / tile)
+    dsts = tile * jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(tiles, dtype=jnp.int32)])
+    return win, slot, starts, dsts
+
+
+def emit_rows_build(slot: jax.Array, tile: int) -> jax.Array:
+    """[N] combined slots -> the [N_pad, 128] f32 HBM rows array the
+    emit tail DMA-streams (col 0 = slot; Mosaic sliced HBM DMAs must
+    span whole 128-lane tiles).  Padded by a full ``tile`` so the last
+    window's partial tile never reads out of bounds."""
+    n = slot.shape[0]
+    n_pad = -(-(n + tile) // tile) * tile
+    rows = jnp.zeros((n_pad, 128), jnp.float32)
+    return rows.at[:n, 0].set(slot.astype(jnp.float32))
+
+
 def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
-                   starts_ref, hole_ref, rows_hbm, out_ref,
+                   tile_p: int, starts_ref, hole_ref, rows_hbm, out_ref,
                    scratch, sem):
+    """Tiled, count-gated expand (PERF.md roofline fix #1): the input
+    DMA fetches ``ceil(cnt / tile_p)`` tiles of ``tile_p`` rows instead
+    of an unconditional ``max_p``-row block — empty windows (most of
+    the grid: mean cnt ~47 vs max_p 512 at 1M) fetch NOTHING and only
+    write their hole fill."""
     w = pl.program_id(0)
     st = starts_ref[w]
     cnt = starts_ref[w + 1] - st
-    cp = pltpu.make_async_copy(rows_hbm.at[pl.ds(st, max_p)], scratch, sem)
-    cp.start()
-    cp.wait()
-    tile = scratch[...]                              # [max_p, 128]
-    vals = tile[:, :f]
-    slots = tile[:, f].astype(jnp.int32)
-    p_ok = lax.broadcasted_iota(jnp.int32, (max_p, 1), 0) < cnt
-    # (select in f32, then cast: a bf16-valued select on this mask shape
-    # trips a Mosaic i1 relayout bug)
-    oh = jnp.where(
-        p_ok & (slots[:, None]
-                == lax.broadcasted_iota(jnp.int32, (max_p, s_blk), 1)),
-        1.0, 0.0).astype(jnp.bfloat16)               # [max_p, s_blk]
-    # blk[f, s] = sum_p vals[p, f] * oh[p, s]  (contraction over p).
-    # Exact permutation in 3 bf16 passes instead of precision=HIGHEST's
-    # 6: the one-hot is exactly 0/1 in bf16 and the 3-term bf16
-    # expansion of an f32 is exact, so sum_i (1.0 * v_i) == v bit-exact.
-    v1 = vals.astype(jnp.bfloat16)
-    r1 = vals - v1.astype(jnp.float32)
-    v2 = r1.astype(jnp.bfloat16)
-    v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    n_tiles = lax.div(cnt + (tile_p - 1), tile_p)
     dn = (((0,), (0,)), ((), ()))
+    s_iota = lax.broadcasted_iota(jnp.int32, (tile_p, s_blk), 1)
 
-    def bf16dot(v):
-        return lax.dot_general(v, oh, dn,
-                               preferred_element_type=jnp.float32)
+    def tile_term(i, acc):
+        blk, filled = acc
+        cp = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(st + i * tile_p, tile_p)], scratch, sem)
+        cp.start()
+        cp.wait()
+        tile = scratch[...]                          # [tile_p, 128]
+        vals = tile[:, :f]
+        slots = tile[:, f].astype(jnp.int32)
+        p_ok = (lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
+                < cnt - i * tile_p)
+        # (select in f32, then cast: a bf16-valued select on this mask
+        # shape trips a Mosaic i1 relayout bug)
+        oh = jnp.where(p_ok & (slots[:, None] == s_iota),
+                       1.0, 0.0).astype(jnp.bfloat16)   # [tile_p, s_blk]
+        # blk[f, s] = sum_p vals[p, f] * oh[p, s]  (contraction over p).
+        # Exact permutation in 3 bf16 passes instead of
+        # precision=HIGHEST's 6: the one-hot is exactly 0/1 in bf16 and
+        # the 3-term bf16 expansion of an f32 is exact, so
+        # sum_i (1.0 * v_i) == v bit-exact.
+        v1 = vals.astype(jnp.bfloat16)
+        r1 = vals - v1.astype(jnp.float32)
+        v2 = r1.astype(jnp.bfloat16)
+        v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    blk = bf16dot(v1) + bf16dot(v2) + bf16dot(v3)    # [f, s_blk]
-    # each slot holds at most one particle -> max == sum, exact in bf16
-    filled = jnp.max(oh, axis=0)[None, :].astype(jnp.float32)
+        def bf16dot(v):
+            return lax.dot_general(v, oh, dn,
+                                   preferred_element_type=jnp.float32)
+
+        blk = blk + bf16dot(v1) + bf16dot(v2) + bf16dot(v3)
+        # each slot holds at most one particle -> max == sum, exact
+        filled = jnp.maximum(filled, jnp.max(oh, axis=0)[None, :]
+                             .astype(jnp.float32))
+        return blk, filled
+
+    blk0 = jnp.zeros((f, s_blk), jnp.float32)
+    filled0 = jnp.zeros((1, s_blk), jnp.float32)
+    blk, filled = lax.fori_loop(0, n_tiles, tile_term, (blk0, filled0))
     blk = blk + hole_ref[...] * (1.0 - filled)
     out_ref[...] = blk.reshape(f, 1, 1, cap, cpb)
 
@@ -136,7 +202,7 @@ def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
 def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
                 geom: PlaneGeom, hole_fill: jax.Array,
                 cells_per_block: int = 128, max_p: int = 512,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False, tile_p: int = 64) -> jax.Array:
     """[N, F] sorted rows -> ONE class's [F, nyq, nc, 2*cap, CW]
     stacked dense table (``planes.FluidTables`` layout; windows write
     chunk sub-slices directly since CW is a multiple of
@@ -147,6 +213,7 @@ def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
     cpb = cells_per_block
     nsc, nw, s_blk = expand_windows(geom, cpb)
     wpc = geom.cw // cpb                 # windows per chunk
+    tile_p = min(tile_p, max_p)
 
     # minor dim padded to a full 128-lane tile: Mosaic requires sliced
     # HBM DMAs to span whole tiles
@@ -183,11 +250,12 @@ def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((max_p, 128), jnp.float32),
+            pltpu.VMEM((tile_p, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ])
     return pl.pallas_call(
-        functools.partial(_expand_kernel, s_blk, max_p, f, geom.cap, cpb),
+        functools.partial(_expand_kernel, s_blk, max_p, f, geom.cap, cpb,
+                          tile_p),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

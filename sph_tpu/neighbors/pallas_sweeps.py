@@ -132,8 +132,29 @@ def _dest_bits(occv, shift):
     return ((occv[1] | occv[2]) >> shift) & 1
 
 
-def _tbl_spec(geom: PL.PlaneGeom, f: int, view: int, dc: int
-              ) -> pl.BlockSpec:
+def _imap_qc(geom: PL.PlaneGeom, compact: bool):
+    """Program indices -> (q, c) block coords.
+
+    Dense mode: 2D grid (q, c).  Compact mode (PERF.md roofline fix
+    #2): 1D grid over the scalar-prefetched active-block list ``qc``
+    (flat block ids, active blocks first) — inactive blocks are never
+    fetched; the tail padding programs point at real-but-inactive
+    blocks whose bodies gate off and whose outputs zero harmlessly.
+    Raw ``lax.div/rem``: nested jnp ``//``/``%`` breaks Mosaic's
+    index-map lowering (PERF.md finding 13)."""
+    nc = geom.n_chunks
+    if compact:
+        def qc_of(i, occ, pvec, qc, *_):
+            b = qc[i]
+            return lax.div(b, jnp.int32(nc)), lax.rem(b, jnp.int32(nc))
+    else:
+        def qc_of(q, c, *_):
+            return q, c
+    return qc_of
+
+
+def _tbl_spec(geom: PL.PlaneGeom, compact: bool, f: int, view: int,
+              dc: int) -> pl.BlockSpec:
     """3x3 neighborhood block over a class table [F, nyq, nc, 2cap, CW].
     BOTH the pair and chunk indices clamp at the plane edges; the junk
     this injects is never read (clamped-pair source rows are gated off
@@ -142,8 +163,10 @@ def _tbl_spec(geom: PL.PlaneGeom, f: int, view: int, dc: int
     destination's reach, see ``_ext_rows``)."""
     nc = geom.n_chunks
     nyq = geom.nyq
+    qc_of = _imap_qc(geom, compact)
 
-    def imap(q, c, occ, pvec):
+    def imap(*ix):
+        q, c = qc_of(*ix)
         return (0, jnp.clip(q + view - 1, 0, nyq - 1),
                 jnp.clip(c + dc, 0, nc - 1), 0, 0)
 
@@ -151,12 +174,15 @@ def _tbl_spec(geom: PL.PlaneGeom, f: int, view: int, dc: int
                         memory_space=pltpu.VMEM)
 
 
-def _rho_spec(geom: PL.PlaneGeom, view: int, dc: int) -> pl.BlockSpec:
+def _rho_spec(geom: PL.PlaneGeom, compact: bool, view: int, dc: int
+              ) -> pl.BlockSpec:
     """3x3 block over a density output array [nyq, nc, 2cap, CW]."""
     nc = geom.n_chunks
     nyq = geom.nyq
+    qc_of = _imap_qc(geom, compact)
 
-    def imap(q, c, occ, pvec):
+    def imap(*ix):
+        q, c = qc_of(*ix)
         return (jnp.clip(q + view - 1, 0, nyq - 1),
                 jnp.clip(c + dc, 0, nc - 1), 0, 0)
 
@@ -164,8 +190,8 @@ def _rho_spec(geom: PL.PlaneGeom, view: int, dc: int) -> pl.BlockSpec:
                         memory_space=pltpu.VMEM)
 
 
-def _nine(spec_fn, geom, *a):
-    return [spec_fn(geom, *a, v, dc) if a else spec_fn(geom, v, dc)
+def _nine(spec_fn, geom, compact, *a):
+    return [spec_fn(geom, compact, *a, v, dc)
             for v in range(3) for dc in (-1, 0, 1)]
 
 
@@ -206,13 +232,43 @@ class _Fam(NamedTuple):
     sminv: Optional[Sequence] = None     # force only: 3 x [2cap, CWH]
 
 
-def _grid_spec(geom: PL.PlaneGeom, in_specs, out_specs, scratch=()):
+def _grid_spec(geom: PL.PlaneGeom, in_specs, out_specs, scratch=(),
+               n_prog: int = 0, n_extra_scalars: int = 0):
+    """Dense 2D (q, c) grid, or — when ``n_prog`` > 0 — the compact 1D
+    grid over the prefetched active-block list (3rd scalar arg).
+    ``n_extra_scalars``: trailing scalar-prefetch operands beyond
+    (occ, pvec[, qc]) — the emit tail's window starts/dsts."""
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(geom.nyq, geom.n_chunks),
+        num_scalar_prefetch=(3 if n_prog else 2) + n_extra_scalars,
+        grid=(n_prog,) if n_prog else (geom.nyq, geom.n_chunks),
         in_specs=list(in_specs),
         out_specs=out_specs,
         scratch_shapes=list(scratch))
+
+
+def active_block_list(occ_rows: jax.Array, geom: PL.PlaneGeom,
+                      max_active: int):
+    """(qc[max_active] i32 flat block ids — active first, in (q, c)
+    order, padded with inactive ids —, n_active).  A block is active
+    iff either of its pair's rows carries a dest bit (exactly the
+    kernels' own (dest_a | dest_b) gate)."""
+    dest = (occ_rows >> PL.DEST_A_SHIFT) & 3          # bits 16,17
+    pair = dest.reshape(geom.nyq, 2, geom.n_chunks).max(axis=1)
+    flat = (pair > 0).astype(jnp.int32).reshape(-1)
+    n_active = jnp.sum(flat)
+    order = jnp.argsort(1 - flat, stable=True).astype(jnp.int32)
+    return order[:max_active], n_active
+
+
+def _max_active(geom: PL.PlaneGeom, config: SimConfig) -> int:
+    """Static compact-grid size: covers ``sweep_active_frac`` of the
+    blocks (<= 0 or >= 1 disables compaction); the dense fallback
+    handles fuller states via ``lax.cond``."""
+    frac = float(getattr(config, "sweep_active_frac", 0.625))
+    total = geom.nyq * geom.n_chunks
+    if frac <= 0.0 or frac >= 1.0:
+        return 0
+    return min(total, max(1, int(-(-total * frac // 1))))
 
 
 # The unrolled slot x offset pair loops carry wide temporaries; raise
@@ -261,16 +317,22 @@ def _sweep(geom: PL.PlaneGeom, fams, occv, cap: int, accum):
 # density
 # ---------------------------------------------------------------------------
 
-def _density_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
+def _density_kernel(geom: PL.PlaneGeom, has_ghosts: bool, compact: bool,
                     occ_ref, pvec_ref, *refs):
+    if compact:
+        qc_ref, refs = refs[0], refs[1:]
+        b = qc_ref[pl.program_id(0)]
+        q = lax.div(b, jnp.int32(geom.n_chunks))
+        c = lax.rem(b, jnp.int32(geom.n_chunks))
+    else:
+        q = pl.program_id(0)
+        c = pl.program_id(1)
     fa9 = refs[0:9]
     fb9 = refs[9:18]
     ga9 = refs[18:27] if has_ghosts else None
     gb9 = refs[27:36] if has_ghosts else None
     rho_a_ref = refs[-2]
     rho_b_ref = refs[-1]
-    q = pl.program_id(0)
-    c = pl.program_id(1)
     occv = _row_occs(geom, occ_ref, q, c)
     dest_a = _dest_bits(occv, PL.DEST_A_SHIFT)
     dest_b = _dest_bits(occv, PL.DEST_B_SHIFT)
@@ -337,29 +399,41 @@ def _density_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
 
 def density_call(ft: PL.FluidTables, occ_rows: jax.Array,
                  gt, pvec: jax.Array, geom: PL.PlaneGeom,
-                 interpret: bool):
+                 interpret: bool, qc=None, n_prog: int = 0):
     """FINAL per-slot fluid density (floored) for both rank classes:
-    two [nyq, nc, 2cap, CW] arrays."""
+    two [nyq, nc, 2cap, CW] arrays.  ``qc``/``n_prog``: compact-grid
+    mode (see ``active_block_list``); inactive blocks' rho stays
+    UNWRITTEN — the force kernel sanitizes fetched rho, and inactive
+    blocks hold no gathered particle."""
     has_ghosts = gt is not None
-    in_specs = _nine(_tbl_spec, geom, 6) * 2
+    compact = qc is not None
+    in_specs = _nine(_tbl_spec, geom, compact, 6) * 2
     args = [ft.tbl_a] * 9 + [ft.tbl_b] * 9
     if has_ghosts:
-        in_specs += _nine(_tbl_spec, geom, 3) * 2
+        in_specs += _nine(_tbl_spec, geom, compact, 3) * 2
         args += [gt.tbl_a] * 9 + [gt.tbl_b] * 9
+    pre = (occ_rows, pvec, qc) if compact else (occ_rows, pvec)
     out = pl.pallas_call(
-        functools.partial(_density_kernel, geom, has_ghosts),
-        grid_spec=_grid_spec(geom, in_specs,
-                             [_rho_out_spec(geom), _rho_out_spec(geom)]),
+        functools.partial(_density_kernel, geom, has_ghosts, compact),
+        grid_spec=_grid_spec(
+            geom, in_specs,
+            [_rho_out_spec(geom, compact), _rho_out_spec(geom, compact)],
+            n_prog=n_prog if compact else 0),
         out_shape=[_rho_shape(geom), _rho_shape(geom)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(occ_rows, pvec, *args)
+    )(*pre, *args)
     return out[0], out[1]
 
 
-def _rho_out_spec(geom: PL.PlaneGeom) -> pl.BlockSpec:
-    return pl.BlockSpec((1, 1, geom.s_slots, geom.cw),
-                        lambda q, c, occ, pvec: (q, c, 0, 0),
+def _rho_out_spec(geom: PL.PlaneGeom, compact: bool) -> pl.BlockSpec:
+    qc_of = _imap_qc(geom, compact)
+
+    def imap(*ix):
+        q, c = qc_of(*ix)
+        return (q, c, 0, 0)
+
+    return pl.BlockSpec((1, 1, geom.s_slots, geom.cw), imap,
                         memory_space=pltpu.VMEM)
 
 
@@ -368,9 +442,14 @@ def _rho_shape(geom: PL.PlaneGeom):
         (geom.nyq, geom.n_chunks, geom.s_slots, geom.cw), jnp.float32)
 
 
-def _out_spec(geom: PL.PlaneGeom, f: int) -> pl.BlockSpec:
-    return pl.BlockSpec((f, 1, 1, geom.s_slots, geom.cw),
-                        lambda q, c, occ, pvec: (0, q, c, 0, 0),
+def _out_spec(geom: PL.PlaneGeom, compact: bool, f: int) -> pl.BlockSpec:
+    qc_of = _imap_qc(geom, compact)
+
+    def imap(*ix):
+        q, c = qc_of(*ix)
+        return (0, q, c, 0, 0)
+
+    return pl.BlockSpec((f, 1, 1, geom.s_slots, geom.cw), imap,
                         memory_space=pltpu.VMEM)
 
 
@@ -384,18 +463,35 @@ def _out_shape(geom: PL.PlaneGeom, f: int):
 # ---------------------------------------------------------------------------
 
 def _force_xsph_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
+                       compact: bool, emit_tile: int,
                        occ_ref, pvec_ref, *refs):
+    emit = emit_tile > 0
+    if compact:
+        qc_ref, refs = refs[0], refs[1:]
+        b = qc_ref[pl.program_id(0)]
+        q = lax.div(b, jnp.int32(geom.n_chunks))
+        c = lax.rem(b, jnp.int32(geom.n_chunks))
+    else:
+        q = pl.program_id(0)
+        c = pl.program_id(1)
+    if emit:
+        wst_ref, wdst_ref, refs = refs[0], refs[1], refs[2:]
+        (rows_hbm, emit_ref, tile_in, tile_out,
+         sem_in, sem_out) = (refs[-9], refs[-6], refs[-4], refs[-3],
+                             refs[-2], refs[-1])
+        out_a_ref = refs[-8]
+        out_b_ref = refs[-7]
+        acc_ref = refs[-5]
+    else:
+        out_a_ref = refs[-3]
+        out_b_ref = refs[-2]
+        acc_ref = refs[-1]
     fa9 = refs[0:9]
     fb9 = refs[9:18]
     ra9 = refs[18:27]
     rb9 = refs[27:36]
     ga9 = refs[36:45] if has_ghosts else None
     gb9 = refs[45:54] if has_ghosts else None
-    out_a_ref = refs[-3]
-    out_b_ref = refs[-2]
-    acc_ref = refs[-1]
-    q = pl.program_id(0)
-    c = pl.program_id(1)
     occv = _row_occs(geom, occ_ref, q, c)
     dest_a = _dest_bits(occv, PL.DEST_A_SHIFT)
     dest_b = _dest_bits(occv, PL.DEST_B_SHIFT)
@@ -423,8 +519,14 @@ def _force_xsph_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
         def fluid_fam(f9, r9, shift):
             # hoisted per-source-row pressure and mass/rho (one divide
             # per row instead of one per (row, offset) pair); EOS
-            # in-kernel (SPHFluid.comp:109-111)
-            rho_ext = _ext_rows(r9, geom, lead=False)
+            # in-kernel (SPHFluid.comp:109-111).  Under the compact
+            # grid, rho of never-written inactive neighbor blocks is
+            # arbitrary bits — their slots hold sentinel positions, so
+            # `inside` masks every use, but a NaN would survive the
+            # mask through 0*NaN: squash NaN to rho0 here (one
+            # compare+select per source row).
+            rho_ext = [jnp.where(r == r, r, rho0)
+                       for r in _ext_rows(r9, geom, lead=False)]
             return _Fam(
                 _ext_rows(f9, geom), shift, False, False,
                 spres=[jnp.maximum(gas_k * (r - rho0), 0.0)
@@ -625,6 +727,14 @@ def _force_xsph_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
         section(dest_a, fam_a, fa9, ra9, out_a_ref)
         section(dest_b, fam_b, fb9, rb9, out_b_ref)
 
+        if emit:
+            # any window with rows implies dest_a (rank 0 exists), so
+            # the emit tail is complete inside this gate
+            _emit_tail(geom, emit_tile, q, c, wst_ref, wdst_ref,
+                       rows_hbm, out_a_ref, out_b_ref,
+                       ra9[4][0, 0], rb9[4][0, 0],
+                       emit_ref, tile_in, tile_out, sem_in, sem_out)
+
 
 def _mark_self(fams, self_fam):
     """Tag the dest class's family for self-pair exclusion."""
@@ -632,30 +742,149 @@ def _mark_self(fams, self_fam):
             for f in fams]
 
 
+def _emit_tail(geom: PL.PlaneGeom, tile: int, q, c, wst_ref, wdst_ref,
+               rows_hbm, out_a_ref, out_b_ref, rho_a_ctr, rho_b_ctr,
+               emit_ref, tile_in, tile_out, sem_in, sem_out):
+    """Row-emit (PERF.md roofline fix #4): stream this block's final
+    outputs straight to PARTICLE rows, killing the per-substep row
+    gather (46.5 ms at 1M, finding 10).  The failed round-1/2 one-hot
+    gather paid a full ``max_p x S`` matmul + 256 KB write per window
+    (~170x the useful data); here the block's outputs are ALREADY in
+    VMEM (zero extra table reads), tiles are count-gated, and each
+    window writes a private ``tile``-aligned dst region (disjoint =>
+    in-flight DMAs never race; the spare tail lanes carry zeros).
+
+    Emitted row layout (cols 0:10): npx npy npz vx vy vz ax ay az rho.
+    Rows of overflow ranks (no slot) emit zeros; their ballistic
+    fallback values are selected by the caller's ``ofl`` mask."""
+    cap, cw, cpb = geom.cap, geom.cw, 128
+    wpc = cw // cpb
+    nsc = geom.nzxp // cpb
+    s2 = 2 * cap * cpb
+    iota_s = lax.broadcasted_iota(jnp.int32, (tile, s2), 1)
+    dn = (((1,), (0,)), ((), ()))
+
+    for par in (0, 1):
+        lo = par * cap
+        for wc in range(wpc):
+            w = ((2 * q + par) * jnp.int32(nsc)
+                 + c * jnp.int32(wpc) + jnp.int32(wc))
+            st = wst_ref[w]
+            cnt = wst_ref[w + 1] - st
+            dst = wdst_ref[w]
+
+            @pl.when(cnt > 0)
+            def _(lo=lo, wc=wc, st=st, cnt=cnt, dst=dst):
+                cs = slice(wc * cpb, (wc + 1) * cpb)
+                # classes side by side on the slot axis (matches the
+                # combined-slot numbering in MX.emit_window_ids), 10
+                # fields + 6 zero pad rows -> a [s2, 16] rhs
+                blk_a = jnp.concatenate([
+                    out_a_ref[:, 0, 0, lo:lo + cap, cs]
+                    .reshape(9, cap * cpb),
+                    rho_a_ctr[lo:lo + cap, cs].reshape(1, cap * cpb),
+                ], axis=0)
+                blk_b = jnp.concatenate([
+                    out_b_ref[:, 0, 0, lo:lo + cap, cs]
+                    .reshape(9, cap * cpb),
+                    rho_b_ctr[lo:lo + cap, cs].reshape(1, cap * cpb),
+                ], axis=0)
+                blk = jnp.concatenate([blk_a, blk_b], axis=1)
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((6, s2), jnp.float32)], axis=0)
+                blk_t = blk.T                    # [s2, 16]
+                # exact f32 via 3-term bf16 expansion (the one-hot lhs
+                # is exactly 0/1 in bf16; see mxu_permute)
+                b1 = blk_t.astype(jnp.bfloat16)
+                r1 = blk_t - b1.astype(jnp.float32)
+                b2 = r1.astype(jnp.bfloat16)
+                b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def body(i, carry):
+                    cp = pltpu.make_async_copy(
+                        rows_hbm.at[pl.ds(st + i * tile, tile)],
+                        tile_in, sem_in)
+                    cp.start()
+                    cp.wait()
+                    slots = tile_in[:, 0].astype(jnp.int32)
+                    ok = (lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+                          < cnt - i * tile)
+                    oh = jnp.where(ok & (slots[:, None] == iota_s),
+                                   1.0, 0.0).astype(jnp.bfloat16)
+
+                    def mm(b):
+                        return lax.dot_general(
+                            oh, b, dn,
+                            preferred_element_type=jnp.float32)
+
+                    out16 = mm(b1) + mm(b2) + mm(b3)   # [tile, 16]
+                    tile_out[...] = jnp.concatenate(
+                        [out16, jnp.zeros((tile, 112), jnp.float32)],
+                        axis=1)
+                    cpo = pltpu.make_async_copy(
+                        tile_out,
+                        emit_ref.at[pl.ds(dst + i * tile, tile)],
+                        sem_out)
+                    cpo.start()
+                    cpo.wait()
+                    return carry
+
+                lax.fori_loop(0, lax.div(cnt + (tile - 1),
+                                         jnp.int32(tile)), body, 0)
+
+
 def force_xsph_call(ft: PL.FluidTables, occ_rows: jax.Array,
                     rho_a: jax.Array, rho_b: jax.Array, gt,
                     pvec: jax.Array, geom: PL.PlaneGeom,
-                    interpret: bool):
+                    interpret: bool, qc=None, n_prog: int = 0,
+                    emit=None):
     """Two [9, nyq, nc, 2cap, CW] outputs (classes A, B): npx npy npz
-    vx vy vz (final: xsph-applied + speed-capped) ax ay az."""
+    vx vy vz (final: xsph-applied + speed-capped) ax ay az.
+
+    ``emit``: None, or ``(rows, wst, wdst, n_emit, tile)`` from
+    ``MX.emit_window_ids``/``emit_rows_build`` — adds a third output
+    ``[n_emit, 128]`` holding the same 10 fields in window-padded
+    PARTICLE-row order (see ``_emit_tail``)."""
     has_ghosts = gt is not None
-    in_specs = _nine(_tbl_spec, geom, 6) * 2 + _nine(_rho_spec, geom) * 2
+    compact = qc is not None
+    in_specs = (_nine(_tbl_spec, geom, compact, 6) * 2
+                + _nine(_rho_spec, geom, compact) * 2)
     args = ([ft.tbl_a] * 9 + [ft.tbl_b] * 9
             + [rho_a] * 9 + [rho_b] * 9)
     if has_ghosts:
-        in_specs += _nine(_tbl_spec, geom, 3) * 2
+        in_specs += _nine(_tbl_spec, geom, compact, 3) * 2
         args += [gt.tbl_a] * 9 + [gt.tbl_b] * 9
+    pre = [occ_rows, pvec] + ([qc] if compact else [])
+    out_specs = [_out_spec(geom, compact, 9), _out_spec(geom, compact, 9)]
+    out_shapes = [_out_shape(geom, 9), _out_shape(geom, 9)]
+    scratch = [pltpu.VMEM((11, geom.s_slots, geom.cw), jnp.float32)]
+    tile = 0
+    if emit is not None:
+        rows, wst, wdst, n_emit, tile = emit
+        pre += [wst, wdst]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        args.append(rows)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_emit, 128), jnp.float32))
+        scratch += [pltpu.VMEM((tile, 128), jnp.float32),
+                    pltpu.VMEM((tile, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA,
+                    pltpu.SemaphoreType.DMA]
     out = pl.pallas_call(
-        functools.partial(_force_xsph_kernel, geom, has_ghosts),
+        functools.partial(_force_xsph_kernel, geom, has_ghosts, compact,
+                          tile),
         grid_spec=_grid_spec(
-            geom, in_specs, [_out_spec(geom, 9), _out_spec(geom, 9)],
-            scratch=[pltpu.VMEM((11, geom.s_slots, geom.cw),
-                                jnp.float32)]),
-        out_shape=[_out_shape(geom, 9), _out_shape(geom, 9)],
+            geom, in_specs, out_specs, scratch=scratch,
+            n_prog=n_prog if compact else 0,
+            n_extra_scalars=2 if emit is not None else 0),
+        out_shape=out_shapes,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(occ_rows, pvec, *args)
-    return out[0], out[1]
+    )(*pre, *args)
+    if emit is not None:
+        return out[0], out[1], out[2]
+    return out[0], out[1], None
 
 
 # ---------------------------------------------------------------------------
@@ -715,23 +944,73 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
         ft.occ_rows | (gt.occ << PL.GOCC_SHIFT))
     pvec = _make_pvec(params, dt)
 
-    rho_a, rho_b = density_call(ft, occ_rows, gt, pvec, geom, interpret)
-    out_a, out_b = force_xsph_call(ft, occ_rows, rho_a, rho_b, gt, pvec,
-                                   geom, interpret)
-
-    # --- one row gather back to (sorted) particle order ---
-    # (measured at 1M, see PERF.md 10: XLA row gather beats every MXU
-    # one-hot / transposed / monotone-index variant tried).  Row-gather
-    # cost scales with ROW COUNT, and sorted fluid rows come first
-    # (ghosts/invalid spill to key=num_cells), so gather only the
-    # static fluid upper bound and zero-fill the tail (those rows are
-    # reassembled from their own fallback paths below anyway).
+    # row-emit (PERF.md roofline fix #4): the force kernel streams its
+    # outputs straight to window-padded particle rows; the per-substep
+    # table gather collapses to a cheap monotone reorder
     n = s.key.shape[0]
+    tile = int(getattr(config, "emit_tile", 64))
+    emit_on = bool(getattr(config, "emit_rows", True)) and tile > 0
+    if emit_on:
+        from sph_tpu.neighbors import mxu_permute as MX
+        pc = PL.padded_cell_index(s.key, geom)
+        key_p = jnp.where(s.key < geom.num_cells, pc,
+                          geom.padded_cells)
+        win, slot_c, wst, wdst = MX.emit_window_ids(key_p, s.rank,
+                                                    geom, tile)
+        nw = wst.shape[0] - 1
+        n_emit = n + tile * nw
+        emit = (MX.emit_rows_build(slot_c, tile), wst, wdst, n_emit,
+                tile)
+    else:
+        emit = None
+
+    def run_sweeps(qc, n_prog):
+        ra, rb = density_call(ft, occ_rows, gt, pvec, geom, interpret,
+                              qc=qc, n_prog=n_prog)
+        oa, ob, em = force_xsph_call(ft, occ_rows, ra, rb, gt, pvec,
+                                     geom, interpret, qc=qc,
+                                     n_prog=n_prog, emit=emit)
+        if em is None:
+            em = jnp.zeros((0, 128), jnp.float32)
+        return ra, rb, oa, ob, em
+
+    # compact-grid sweeps when the active blocks fit the static cap;
+    # dense fallback otherwise (PERF.md roofline fix #2)
+    ma = _max_active(geom, config)
+    if ma:
+        qc, n_active = active_block_list(occ_rows, geom, ma)
+        rho_a, rho_b, out_a, out_b, em = lax.cond(
+            n_active <= ma,
+            lambda: run_sweeps(qc, ma),
+            lambda: run_sweeps(None, 0))
+    else:
+        rho_a, rho_b, out_a, out_b, em = run_sweeps(None, 0)
+
     nf = config.n_fluid if 0 < config.n_fluid < n else n
-    sa = jnp.concatenate([out_a, rho_a[None]], axis=0).reshape(10, -1)
-    sb = jnp.concatenate([out_b, rho_b[None]], axis=0).reshape(10, -1)
-    per = jnp.concatenate([sa, sb], axis=1).T[
-        PL.out_flat_index(s, geom)[:nf]]                      # [nf, 10]
+    if emit_on:
+        # monotone reorder: row i of the sorted array lives at
+        # wdst[win_i] + (i - wst[win_i]) in the emitted rows (garbage
+        # for non-member rows — their ghost/ballistic fallback values
+        # are selected below)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        dst_idx = jnp.clip(wdst[win] + (iota - wst[win]), 0,
+                           em.shape[0] - 1)
+        per = em[dst_idx[:nf], :10]                           # [nf, 10]
+    else:
+        # one row gather back to (sorted) particle order (measured at
+        # 1M, see PERF.md 10: the XLA row gather beats every FULL-table
+        # MXU one-hot variant tried; row-emit above beats both).
+        # Row-gather cost scales with ROW COUNT, and sorted fluid rows
+        # come first (ghosts/invalid spill to key=num_cells), so gather
+        # only the static fluid upper bound and zero-fill the tail
+        # (those rows are reassembled from their own fallback paths
+        # below anyway).
+        sa = jnp.concatenate([out_a, rho_a[None]], axis=0).reshape(
+            10, -1)
+        sb = jnp.concatenate([out_b, rho_b[None]], axis=0).reshape(
+            10, -1)
+        per = jnp.concatenate([sa, sb], axis=1).T[
+            PL.out_flat_index(s, geom)[:nf]]                  # [nf, 10]
     if nf < n:
         per = jnp.concatenate(
             [per, jnp.zeros((n - nf, 10), jnp.float32)], axis=0)

@@ -119,14 +119,17 @@ def _exchange_rows(tbl: jax.Array, geom: PL.PlaneGeom, n_dev: int
     return _row_write(tbl, na, geom, nz_l + 1)
 
 
-def _exchange_occ(occ_rows: jax.Array, geom: PL.PlaneGeom, n_dev: int
-                  ) -> jax.Array:
+def _exchange_occ(occ_rows: jax.Array, geom: PL.PlaneGeom, n_dev: int,
+                  strip_dest: bool = True) -> jax.Array:
     """Same exchange for the [nyp_pad, nc] occupancy words; received
-    rows have their dest bits stripped (halo rows are sources only)."""
+    rows have their dest bits stripped (halo rows are sources only;
+    ghost occ words carry no dest bits, so the builder passes
+    ``strip_dest=False``)."""
     nz_l = geom.ny
     up = [(i, i + 1) for i in range(n_dev - 1)]
     down = [(i, i - 1) for i in range(1, n_dev)]
-    dest_bits = (1 << PL.DEST_A_SHIFT) | (1 << PL.DEST_B_SHIFT)
+    dest_bits = ((1 << PL.DEST_A_SHIFT) | (1 << PL.DEST_B_SHIFT)
+                 if strip_dest else 0)
     from_below = lax.ppermute(occ_rows[nz_l], AXIS, up) & ~dest_bits
     from_above = lax.ppermute(occ_rows[1], AXIS, down) & ~dest_bits
     d = lax.axis_index(AXIS)
@@ -218,28 +221,16 @@ def _route_all_to_all(state: ParticleState, params: FluidParams,
         orig_id=mm.orig_id)
 
 
-def _substep_body(state: ParticleState, params: FluidParams,
-                  dt: jax.Array, buffers, scfg: SL.SlabConfig,
-                  river_mode: bool = False, fountain_mode: bool = False):
-    """Per-device slab substep on the Pallas kernels (under shard_map)."""
-    geom = local_geom(scfg)
-    n_dev = scfg.n_dev
-    interpret = K._interpret_default()
-    d = lax.axis_index(AXIS)
-    z0 = d * scfg.nz_local
-
-    m_valid = state.valid > 0
-    fluid_mask = m_valid & (state.ghost == 0)
-    key = _local_keys_zmajor(state.pos, fluid_mask, params, scfg, z0,
-                             geom)
+def _build_local_ghost_tables(state: ParticleState, params: FluidParams,
+                              scfg: SL.SlabConfig, z0,
+                              geom: PL.PlaneGeom) -> PL.GhostTables:
+    """Per-slab static ghost tables.  Ghost positions never change and
+    no emitter or migration step moves a ghost across slabs (respawns
+    act on fluid only; migration is position-keyed and ghosts are
+    still), so callers hoist this to once per FRAME via
+    ``make_slab_ghost_builder`` (round-2 verdict weak #7)."""
     contrib = state.contrib_mask(params.ghost_face_active)
-    s = PL.sort_particles(state, key, contrib)
-    ft = PL.build_fluid_tables(s, params, geom)
-
-    # static ghost tables, built locally per substep (the single-chip
-    # engine hoists this per frame; here migration can move ghosts
-    # between slabs so we rebuild — ghost counts are tiny)
-    gmask = m_valid & (state.ghost > 0) & contrib
+    gmask = ((state.valid > 0) & (state.ghost > 0) & contrib)
     gkey = _local_keys_zmajor(state.pos, gmask, params, scfg, z0, geom)
     gskey, gx, gy, gz = lax.sort(
         (gkey, state.pos[:, 0], state.pos[:, 1], state.pos[:, 2]),
@@ -255,20 +246,46 @@ def _substep_body(state: ParticleState, params: FluidParams,
                                    ghole, "auto")
     gocc_a, gocc_b, _, _ = PL._window_occ(
         PL._padded_counts(gkey_p, geom), geom)
-    gt = PL.GhostTables(tbl_a=gt_a, tbl_b=gt_b,
-                        occ=gocc_a | (gocc_b << PL.OCC_B_SHIFT),
-                        overflow=govf)
+    return PL.GhostTables(tbl_a=gt_a, tbl_b=gt_b,
+                          occ=gocc_a | (gocc_b << PL.OCC_B_SHIFT),
+                          overflow=govf)
 
-    occ_rows = ft.occ_rows | (gt.occ << PL.GOCC_SHIFT)
 
-    # --- halo exchange: source tables + occupancy words ---
+def _substep_body(state: ParticleState, params: FluidParams,
+                  dt: jax.Array, buffers, ghosts=None, *,
+                  scfg: SL.SlabConfig,
+                  river_mode: bool = False, fountain_mode: bool = False):
+    """Per-device slab substep on the Pallas kernels (under shard_map).
+
+    ``ghosts``: None (no ghost particles in this config) or the
+    (tbl_a, tbl_b, occ) triple from ``make_slab_ghost_builder`` —
+    already halo-exchanged, hoisted to once per frame."""
+    geom = local_geom(scfg)
+    n_dev = scfg.n_dev
+    interpret = K._interpret_default()
+    d = lax.axis_index(AXIS)
+    z0 = d * scfg.nz_local
+
+    m_valid = state.valid > 0
+    fluid_mask = m_valid & (state.ghost == 0)
+    key = _local_keys_zmajor(state.pos, fluid_mask, params, scfg, z0,
+                             geom)
+    contrib = state.contrib_mask(params.ghost_face_active)
+    s = PL.sort_particles(state, key, contrib)
+    ft = PL.build_fluid_tables(s, params, geom)
+
+    gt = (PL.GhostTables(tbl_a=ghosts[0], tbl_b=ghosts[1],
+                         occ=ghosts[2], overflow=jnp.int32(0))
+          if ghosts is not None else None)
+
+    # --- halo exchange: source tables + occupancy words (ghost tables
+    # arrive pre-exchanged from the per-frame builder) ---
     ta = _exchange_rows(ft.tbl_a, geom, n_dev)
     tb = _exchange_rows(ft.tbl_b, geom, n_dev)
-    ga = _exchange_rows(gt.tbl_a, geom, n_dev)
-    gb = _exchange_rows(gt.tbl_b, geom, n_dev)
-    occ_rows = _exchange_occ(occ_rows, geom, n_dev)
+    occ_rows = _exchange_occ(ft.occ_rows, geom, n_dev)
+    if gt is not None:
+        occ_rows = occ_rows | (gt.occ << PL.GOCC_SHIFT)
     ft = ft._replace(tbl_a=ta, tbl_b=tb)
-    gt = gt._replace(tbl_a=ga, tbl_b=gb)
 
     pvec = K._make_pvec(params, dt)
     rho_a, rho_b = K.density_call(ft, occ_rows, gt, pvec, geom,
@@ -276,8 +293,8 @@ def _substep_body(state: ParticleState, params: FluidParams,
     # --- halo exchange: edge densities before the force sweeps ---
     rho_a = _exchange_rho(rho_a, geom, n_dev)
     rho_b = _exchange_rho(rho_b, geom, n_dev)
-    out_a, out_b = K.force_xsph_call(ft, occ_rows, rho_a, rho_b, gt,
-                                     pvec, geom, interpret)
+    out_a, out_b, _ = K.force_xsph_call(ft, occ_rows, rho_a, rho_b,
+                                        gt, pvec, geom, interpret)
 
     # --- gather + reassembly (mirrors pallas_sweeps.substep) ---
     sa = jnp.concatenate([out_a, rho_a[None]], axis=0).reshape(10, -1)
@@ -341,14 +358,46 @@ def _substep_body(state: ParticleState, params: FluidParams,
     return SL._migrate(out, params, scfg, z0), buffers
 
 
+def make_slab_ghost_builder(mesh: Mesh, scfg: SL.SlabConfig):
+    """Jitted once-per-frame ghost-table builder (the slab analogue of
+    ``pallas_sweeps.build_aux``): returns
+    ``build(state, params) -> (tbl_a, tbl_b, occ)`` with the slab-halo
+    exchange already applied — pass the triple to the substep of a
+    ``has_ghosts=True`` engine.  Valid within a frame because ghosts
+    are static and never cross slabs."""
+    from jax.sharding import PartitionSpec as PS
+    state_spec = jax.tree_util.tree_map(lambda _: PS(AXIS),
+                                        ParticleState.zeros(1))
+    rep_params = jax.tree_util.tree_map(lambda _: PS(),
+                                        FluidParams.default())
+
+    def body(state, params):
+        geom = local_geom(scfg)
+        d = lax.axis_index(AXIS)
+        z0 = d * scfg.nz_local
+        gt = _build_local_ghost_tables(state, params, scfg, z0, geom)
+        ta = _exchange_rows(gt.tbl_a, geom, scfg.n_dev)
+        tb = _exchange_rows(gt.tbl_b, geom, scfg.n_dev)
+        occ = _exchange_occ(gt.occ, geom, scfg.n_dev, strip_dest=False)
+        return ta, tb, occ
+
+    mapped = jax.shard_map(
+        body, mesh=mesh, in_specs=(state_spec, rep_params),
+        out_specs=(PS(AXIS), PS(AXIS), PS(AXIS)), check_vma=False)
+    return jax.jit(mapped)
+
+
 def make_slab_pallas_substep(mesh: Mesh, scfg: SL.SlabConfig,
                              river_mode: bool = False,
-                             fountain_mode: bool = False):
+                             fountain_mode: bool = False,
+                             has_ghosts: bool = False):
     """Jitted multi-chip slab substep on the Pallas kernels.
 
-    Returns ``step(state, params, dt, buffers) -> (state, buffers)``;
-    ``buffers`` is a replicated ``SceneBuffers`` (terrain heightmap,
-    fountain seed)."""
+    Returns ``step(state, params, dt, buffers) -> (state, buffers)``
+    (``buffers`` is a replicated ``SceneBuffers``: terrain heightmap,
+    fountain seed) — or, with ``has_ghosts=True``,
+    ``step(state, params, dt, buffers, ghosts)`` where ``ghosts`` is
+    ``make_slab_ghost_builder``'s per-frame output."""
     from jax.sharding import PartitionSpec as PS
     from sph_tpu.engine.step import SceneBuffers
     state_spec = jax.tree_util.tree_map(lambda _: PS(AXIS),
@@ -358,12 +407,26 @@ def make_slab_pallas_substep(mesh: Mesh, scfg: SL.SlabConfig,
     cfg = SimConfig(n=1, grid_dims=scfg.dims, neighbor_impl="pallas")
     buf_spec = jax.tree_util.tree_map(lambda _: PS(),
                                       SceneBuffers.create(cfg))
-    body = functools.partial(_substep_body, scfg=scfg,
-                             river_mode=river_mode,
-                             fountain_mode=fountain_mode)
+    kw = dict(scfg=scfg, river_mode=river_mode,
+              fountain_mode=fountain_mode)
+    if has_ghosts:
+        def body(state, params, dt, buffers, gta, gtb, gocc):
+            return _substep_body(state, params, dt, buffers,
+                                 (gta, gtb, gocc), **kw)
+
+        in_specs = (state_spec, rep_params, PS(), buf_spec,
+                    PS(AXIS), PS(AXIS), PS(AXIS))
+    else:
+        def body(state, params, dt, buffers):
+            return _substep_body(state, params, dt, buffers, None, **kw)
+
+        in_specs = (state_spec, rep_params, PS(), buf_spec)
     mapped = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(state_spec, rep_params, PS(), buf_spec),
+        body, mesh=mesh, in_specs=in_specs,
         out_specs=(state_spec, buf_spec),
         check_vma=False)
+    if has_ghosts:
+        # callers pass the builder's (tbl_a, tbl_b, occ) as ONE tuple
+        return jax.jit(lambda state, params, dt, buffers, ghosts:
+                       mapped(state, params, dt, buffers, *ghosts))
     return jax.jit(mapped)

@@ -151,3 +151,102 @@ def test_pallas_matches_brute_rotated_container():
     ia2, ic = _align(sb, sn)
     dpos2 = np.abs(np.asarray(sb.pos)[ia2] - np.asarray(sn.pos)[ic])
     assert dpos2.max() < 1e-4
+
+
+def test_pallas_overflow_transient_bounded():
+    """Beyond-capacity overflow (VERDICT r2 weak #5, rotated_512k's
+    waiver): particles with rank >= cell_capacity get ballistic updates
+    until pressure disperses the cell.  The transient must (1) drain to
+    zero, (2) keep the trajectory error vs the unbounded oracle at the
+    h scale (not box scale), (3) stay finite and contained."""
+    from sph_tpu.core.params import grid_min
+    from sph_tpu.neighbors import planes as PL
+
+    half = (3.0, 3.0, 3.0)
+    h = 0.4
+    params = FluidParams.default(
+        h=h, box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), h)
+    gmin = np.asarray(grid_min(params), np.float32)
+
+    # 6 particles per cell in a 3x2x3 block: ranks 4-5 OVERFLOW
+    # capacity 4 (the spill class holds ranks 2-3)
+    rng = np.random.RandomState(5)
+    pos = []
+    for i in range(6, 9):
+        for j in range(4, 6):
+            for k in range(6, 9):
+                base = gmin + (np.array([i, j, k], np.float32) + 0.5) * h
+                for _ in range(6):
+                    pos.append(base + (rng.rand(3).astype(np.float32)
+                                       - 0.5) * 0.3 * h)
+    pos = np.stack(pos)
+    n = pos.shape[0]
+    spawn = S.SpawnResult(
+        pos=pos, vel=np.zeros((n, 3), np.float32),
+        ghost=np.zeros((n,), np.int32),
+        face=np.full((n,), -1, np.int32),
+        color_group=np.zeros((n,), np.int32), count=n)
+    state = S.state_from_spawn(spawn)
+
+    cfg4 = SimConfig(n=state.n, grid_dims=dims, neighbor_impl="pallas",
+                     cell_capacity=4)
+    geom = PL.geom_for(cfg4)
+
+    def overflow_count(st):
+        key = PL.compute_keys_ymajor(st.pos, st.valid > 0, params, geom)
+        s = PL.sort_particles(
+            st, key, st.contrib_mask(params.ghost_face_active))
+        r = np.asarray(s.rank)[np.asarray(s.key) < geom.num_cells]
+        k = np.asarray(s.key)[np.asarray(s.key) < geom.num_cells]
+        return int(((r >= 4)).sum())
+
+    assert overflow_count(state) == 18 * 2, "fixture must overflow"
+
+    n_sub = 8
+    sb = _run(state, params, dims, "brute", n_sub=n_sub)
+    sp = _run(state, params, dims, "pallas", n_sub=n_sub,
+              cell_capacity=4)
+
+    # (1) the transient drains: pressure disperses the crowded cells
+    assert overflow_count(sp) == 0, "overflow did not drain"
+    # (2) drift vs the unbounded oracle stays h-scale
+    ia, ib = _align(sb, sp)
+    dpos = np.abs(np.asarray(sb.pos)[ia] - np.asarray(sp.pos)[ib])
+    assert dpos.max() < 1.0 * h, f"overflow drift blew up: {dpos.max()}"
+    # (3) finite and inside the container
+    p = np.asarray(sp.pos)
+    assert np.isfinite(p).all()
+    assert (np.abs(p) <= np.asarray(half) + h).all()
+
+
+def test_emit_rows_matches_gather_transport():
+    """Row-emit (in-kernel particle-row streaming, PERF.md roofline
+    fix #4) is pure TRANSPORT: the same kernel outputs must arrive
+    bit-identically whether they travel through the window-padded emit
+    buffer + monotone reorder or the table row gather."""
+    import dataclasses
+
+    half = (3.0, 3.0, 3.0)
+    fluid = S.spawn_standard(300, h=0.28, box_half=half, seed=3)
+    shell = S.spawn_ghost_box_shell(h=0.28, box_half=half)
+    spawn = S.concat_spawns(fluid, shell)
+    state = S.state_from_spawn(spawn)
+    params = FluidParams.default(
+        box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), 0.28)
+
+    def run(emit):
+        cfg = SimConfig(n=state.n, grid_dims=dims,
+                        neighbor_impl="pallas", emit_rows=emit)
+        buf = SceneBuffers.create(cfg)
+        out, _ = run_substeps(state, params, buf, params.dt, 3, cfg)
+        return out
+
+    se = run(True)
+    sg = run(False)
+    ia, ib = _align(se, sg)
+    for f in ("pos", "vel", "acc", "density", "pressure", "foam"):
+        a = np.asarray(getattr(se, f))[ia]
+        b = np.asarray(getattr(sg, f))[ib]
+        assert (a == b).all(), f"{f} transport mismatch"

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from sph_tpu.core import state as S
 from sph_tpu.core.params import (FluidParams, SimConfig, compute_grid_dims,
@@ -147,3 +148,109 @@ def test_slab_pallas_fountain_routes_respawns_across_slabs():
     sa = spos[np.argsort(sid, kind="stable")]
     err = np.abs(ra - sa).max()
     assert err < 1e-4, f"fountain slab-pallas trajectory diverged: {err}"
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_slab_pallas_river_matches_single_device():
+    """River mode under slabs (VERDICT r2 weak #7): terrain + channel +
+    stream-emit respawns (which TELEPORT particles along global z — the
+    slab axis) must match the single-device pallas trajectory through
+    the all_to_all router."""
+    from sph_tpu.parallel import slab_pallas
+    from sph_tpu.scene.river import (RiverSpec, generate_river_terrain,
+                                     river_params)
+
+    half = (5.0, 5.0, 5.0)
+    state, params, sim = _setup(n=1024, half=half)
+    spec = RiverSpec.random(3)
+    terrain = generate_river_terrain(spec, (0.0, 0.0, 0.0), half,
+                                     res=sim.terrain_res)
+    params = river_params(params, spec, (0.0, 0.0, 0.0), half)
+    # force z-based respawns: everything past z=0 teleports to the
+    # emitter end of the channel (slab 0/1 territory on a 4-slab mesh)
+    params = params.replace(
+        river_sink_z_max=jnp.float32(0.0),
+        river_emitter_pos=jnp.asarray([0.0, 1.0, -4.5], jnp.float32),
+        river_sink_y=jnp.float32(-20.0))
+    simp = SimConfig(n=state.n, grid_dims=sim.grid_dims,
+                     neighbor_impl="pallas", river_mode=True)
+    n_dev = 4
+    mesh = slabs.make_mesh_slabs(n_dev)
+    scfg = slabs.make_slab_config(simp, n_dev, state.n)
+
+    from sph_tpu.engine.step import SceneBuffers as SB
+    n_sub = 3
+    buf = SB.create(simp).replace(terrain=jnp.asarray(terrain))
+    ref, _ = run_substeps(state, params, buf, params.dt, n_sub, simp)
+    # the sink must actually have fired, else the router isn't tested
+    rvalid = np.asarray(ref.valid) > 0
+    assert (np.asarray(ref.pos)[rvalid][:, 2] <= 0.0 + 1e-3).any()
+
+    st = slabs.shard_by_slab(state, params, scfg, mesh)
+    step = slab_pallas.make_slab_pallas_substep(mesh, scfg,
+                                                river_mode=True)
+    sbuf = SB.create(simp).replace(terrain=jnp.asarray(terrain))
+    for _ in range(n_sub):
+        st, sbuf = step(st, params, params.dt, sbuf)
+    st = jax.device_get(st)
+
+    rid = np.asarray(ref.orig_id)[rvalid]
+    rpos = np.asarray(ref.pos)[rvalid]
+    sid = np.asarray(st.orig_id)[np.asarray(st.valid) > 0]
+    spos = np.asarray(st.pos)[np.asarray(st.valid) > 0]
+    assert len(sid) == len(rid), "particles lost in river routing"
+    ra = rpos[np.argsort(rid, kind="stable")]
+    sa = spos[np.argsort(sid, kind="stable")]
+    err = np.abs(ra - sa).max()
+    assert err < 1e-4, f"slab-pallas river trajectory diverged: {err}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_slab_pallas_ghosts_hoisted_builder():
+    """Ghost boundary particles under slabs: the per-frame ghost-table
+    builder (hoisted out of the substep, VERDICT r2 weak #7) must match
+    the single-device pallas engine with ghost shells."""
+    from sph_tpu.core.params import compute_grid_dims as cgd
+    from sph_tpu.parallel import slab_pallas
+
+    half = (4.0, 4.0, 4.0)
+    spawn = S.concat_spawns(
+        S.spawn_standard(512, h=0.28, box_half=half, seed=1),
+        S.spawn_ghost_box_shell(h=0.28, box_half=half))
+    state = S.state_from_spawn(spawn)
+    params = FluidParams.default(
+        box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = cgd(SHAPE_BOX, half, (0, 0, 0), 0.28)
+    simp = SimConfig(n=state.n, grid_dims=dims, neighbor_impl="pallas")
+    n_dev = 4
+    mesh = slabs.make_mesh_slabs(n_dev)
+    scfg = slabs.make_slab_config(simp, n_dev, state.n)
+
+    n_sub = 2
+    buf = SceneBuffers.create(simp)
+    ref, _ = run_substeps(state, params, buf, params.dt, n_sub, simp)
+
+    st = slabs.shard_by_slab(state, params, scfg, mesh)
+    build = slab_pallas.make_slab_ghost_builder(mesh, scfg)
+    step = slab_pallas.make_slab_pallas_substep(mesh, scfg,
+                                                has_ghosts=True)
+    ghosts = build(st, params)          # once per frame
+    sbuf = SceneBuffers.create(simp)
+    for _ in range(n_sub):
+        st, sbuf = step(st, params, params.dt, sbuf, ghosts)
+    st = jax.device_get(st)
+
+    def fluid_rows(s):
+        m = (np.asarray(s.valid) > 0) & (np.asarray(s.ghost) == 0)
+        ids = np.asarray(s.orig_id)[m]
+        pos = np.asarray(s.pos)[m]
+        return ids, pos
+
+    rid, rpos = fluid_rows(ref)
+    sid, spos = fluid_rows(st)
+    assert len(sid) == len(rid)
+    ra = rpos[np.argsort(rid, kind="stable")]
+    sa = spos[np.argsort(sid, kind="stable")]
+    err = np.abs(ra - sa).max()
+    assert err < 1e-4, f"slab-pallas ghost trajectory diverged: {err}"
