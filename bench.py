@@ -39,6 +39,21 @@ def main() -> None:
                  f"available: {', '.join(sorted(AC.CONFIGS))}")
     cfg = AC.CONFIGS[config_name]
     state, params, sim = AC.build(cfg, neighbor_impl=impl_override)
+
+    # A/B knobs for perf bisection (PERF.md): env overrides beat editing
+    # configs between runs — the driver never sets these.
+    import dataclasses as _dc
+    import os as _os
+    _ab = {}
+    if _os.environ.get("SPH_EMIT_ROWS") is not None:
+        _ab["emit_rows"] = _os.environ["SPH_EMIT_ROWS"] == "1"
+    if _os.environ.get("SPH_ACTIVE_FRAC") is not None:
+        _ab["sweep_active_frac"] = float(_os.environ["SPH_ACTIVE_FRAC"])
+    if _os.environ.get("SPH_EXACT_OVERFLOW") is not None:
+        _ab["exact_overflow"] = _os.environ["SPH_EXACT_OVERFLOW"] == "1"
+    if _ab:
+        sim = _dc.replace(sim, **_ab)
+        print(f"[bench] A/B overrides: {_ab}", file=sys.stderr)
     buffers = SceneBuffers.create(sim)
     n_fluid = int(np.asarray(state.fluid_mask()).sum())
     print(f"[bench] config={config_name} fluid={n_fluid} padded={state.n} "

@@ -3,6 +3,9 @@
 break (CPU interpret mode unless run under TPU)."""
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without PYTHONPATH
 import sys
 
 import numpy as np

@@ -6,6 +6,9 @@ seeds. Writes docs/gallery/*.png.
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without PYTHONPATH
 import os
 import sys
 

@@ -2,6 +2,9 @@
 """Micro-benchmarks: pallas smoke test + sort/scatter/gather costs at N."""
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without PYTHONPATH
 import sys
 import time
 

@@ -2,6 +2,9 @@
 """Decisive primitives for the neighbor-table build at 1M particles."""
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without PYTHONPATH
 import sys
 import time
 

@@ -8,6 +8,9 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site \
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without PYTHONPATH
 import sys
 import time
 

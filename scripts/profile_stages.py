@@ -7,6 +7,9 @@ Usage: python scripts/profile_stages.py [config] [reps]
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without PYTHONPATH
 import sys
 import time
 

@@ -11,6 +11,9 @@ Usage: python scripts/proto_bfly_kernel.py [--tpu]
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # runnable without PYTHONPATH
 import functools
 import math
 import sys

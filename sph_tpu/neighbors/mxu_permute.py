@@ -143,60 +143,75 @@ def emit_rows_build(slot: jax.Array, tile: int) -> jax.Array:
 
 
 def _expand_kernel(s_blk: int, max_p: int, f: int, cap: int, cpb: int,
-                   tile_p: int, starts_ref, hole_ref, rows_hbm, out_ref,
-                   scratch, sem):
+                   tile_p: int, nsc: int, starts_ref, hole_ref, rows_hbm,
+                   out_ref, scratch, sem):
     """Tiled, count-gated expand (PERF.md roofline fix #1): the input
     DMA fetches ``ceil(cnt / tile_p)`` tiles of ``tile_p`` rows instead
     of an unconditional ``max_p``-row block — empty windows (most of
     the grid: mean cnt ~47 vs max_p 512 at 1M) fetch NOTHING and only
-    write their hole fill."""
-    w = pl.program_id(0)
-    st = starts_ref[w]
-    cnt = starts_ref[w + 1] - st
-    n_tiles = lax.div(cnt + (tile_p - 1), tile_p)
+    write their hole fill.
+
+    One program handles the PARITY PAIR of windows sharing an output
+    block (rows 2q and 2q+1 of chunk window r) and writes the full
+    ``2*cap`` slot dim — a ``cap``-sublane out block is illegal below
+    cap=8 (Mosaic's divisible-by-8-or-full rule; round-3 verdict weak
+    #1), while ``2*cap`` always equals the array's slot dim."""
+    t = pl.program_id(0)
+    q = lax.div(t, jnp.int32(nsc))
+    r = lax.rem(t, jnp.int32(nsc))
     dn = (((0,), (0,)), ((), ()))
     s_iota = lax.broadcasted_iota(jnp.int32, (tile_p, s_blk), 1)
 
-    def tile_term(i, acc):
-        blk, filled = acc
-        cp = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(st + i * tile_p, tile_p)], scratch, sem)
-        cp.start()
-        cp.wait()
-        tile = scratch[...]                          # [tile_p, 128]
-        vals = tile[:, :f]
-        slots = tile[:, f].astype(jnp.int32)
-        p_ok = (lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
-                < cnt - i * tile_p)
-        # (select in f32, then cast: a bf16-valued select on this mask
-        # shape trips a Mosaic i1 relayout bug)
-        oh = jnp.where(p_ok & (slots[:, None] == s_iota),
-                       1.0, 0.0).astype(jnp.bfloat16)   # [tile_p, s_blk]
-        # blk[f, s] = sum_p vals[p, f] * oh[p, s]  (contraction over p).
-        # Exact permutation in 3 bf16 passes instead of
-        # precision=HIGHEST's 6: the one-hot is exactly 0/1 in bf16 and
-        # the 3-term bf16 expansion of an f32 is exact, so
-        # sum_i (1.0 * v_i) == v bit-exact.
-        v1 = vals.astype(jnp.bfloat16)
-        r1 = vals - v1.astype(jnp.float32)
-        v2 = r1.astype(jnp.bfloat16)
-        v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
+    halves = []
+    for parity in range(2):
+        win = (2 * q + parity) * jnp.int32(nsc) + r
+        st = starts_ref[win]
+        cnt = starts_ref[win + 1] - st
+        n_tiles = lax.div(cnt + (tile_p - 1), tile_p)
 
-        def bf16dot(v):
-            return lax.dot_general(v, oh, dn,
-                                   preferred_element_type=jnp.float32)
+        def tile_term(i, acc, st=st, cnt=cnt):
+            blk, filled = acc
+            cp = pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(st + i * tile_p, tile_p)], scratch, sem)
+            cp.start()
+            cp.wait()
+            tile = scratch[...]                          # [tile_p, 128]
+            vals = tile[:, :f]
+            slots = tile[:, f].astype(jnp.int32)
+            p_ok = (lax.broadcasted_iota(jnp.int32, (tile_p, 1), 0)
+                    < cnt - i * tile_p)
+            # (select in f32, then cast: a bf16-valued select on this
+            # mask shape trips a Mosaic i1 relayout bug)
+            oh = jnp.where(p_ok & (slots[:, None] == s_iota),
+                           1.0, 0.0).astype(jnp.bfloat16)  # [tile_p, s_blk]
+            # blk[f, s] = sum_p vals[p, f] * oh[p, s] (contraction over
+            # p).  Exact permutation in 3 bf16 passes instead of
+            # precision=HIGHEST's 6: the one-hot is exactly 0/1 in bf16
+            # and the 3-term bf16 expansion of an f32 is exact, so
+            # sum_i (1.0 * v_i) == v bit-exact.
+            v1 = vals.astype(jnp.bfloat16)
+            r1 = vals - v1.astype(jnp.float32)
+            v2 = r1.astype(jnp.bfloat16)
+            v3 = (r1 - v2.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        blk = blk + bf16dot(v1) + bf16dot(v2) + bf16dot(v3)
-        # each slot holds at most one particle -> max == sum, exact
-        filled = jnp.maximum(filled, jnp.max(oh, axis=0)[None, :]
-                             .astype(jnp.float32))
-        return blk, filled
+            def bf16dot(v):
+                return lax.dot_general(v, oh, dn,
+                                       preferred_element_type=jnp.float32)
 
-    blk0 = jnp.zeros((f, s_blk), jnp.float32)
-    filled0 = jnp.zeros((1, s_blk), jnp.float32)
-    blk, filled = lax.fori_loop(0, n_tiles, tile_term, (blk0, filled0))
-    blk = blk + hole_ref[...] * (1.0 - filled)
-    out_ref[...] = blk.reshape(f, 1, 1, cap, cpb)
+            blk = blk + bf16dot(v1) + bf16dot(v2) + bf16dot(v3)
+            # each slot holds at most one particle -> max == sum, exact
+            filled = jnp.maximum(filled, jnp.max(oh, axis=0)[None, :]
+                                 .astype(jnp.float32))
+            return blk, filled
+
+        blk0 = jnp.zeros((f, s_blk), jnp.float32)
+        filled0 = jnp.zeros((1, s_blk), jnp.float32)
+        blk, filled = lax.fori_loop(0, n_tiles, tile_term,
+                                    (blk0, filled0))
+        blk = blk + hole_ref[...] * (1.0 - filled)
+        halves.append(blk.reshape(f, cap, cpb))
+    out_ref[...] = jnp.concatenate(halves, axis=1).reshape(
+        f, 1, 1, 2 * cap, cpb)
 
 
 def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
@@ -226,25 +241,27 @@ def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
     hole = jnp.broadcast_to(hole_fill[:, None], (f, s_blk)).astype(
         jnp.float32)
 
-    def out_index(w, st):
+    def out_index(t, st):
         # raw lax ops: jnp's // and % wrap in jitted sub-jaxprs, and
         # NESTED ones break Mosaic's index-map lowering (MLIR cache
         # KeyError); all operands are non-negative so trunc == floor
-        two = jnp.int32(2)
-        r = lax.rem(w, jnp.int32(nsc))
-        row = lax.div(w, jnp.int32(nsc))
-        return (0, lax.div(row, two), lax.div(r, jnp.int32(wpc)),
-                lax.rem(row, two), lax.rem(r, jnp.int32(wpc)))
+        r = lax.rem(t, jnp.int32(nsc))
+        return (0, lax.div(t, jnp.int32(nsc)), lax.div(r, jnp.int32(wpc)),
+                0, lax.rem(r, jnp.int32(wpc)))
 
-    out_spec = pl.BlockSpec((f, 1, 1, geom.cap, cpb), out_index,
-                            memory_space=pltpu.VMEM)
+    from sph_tpu.neighbors.blockcheck import check_block
+    out_block = (f, 1, 1, geom.s_slots, cpb)
     out_shape = jax.ShapeDtypeStruct(
         (f, geom.nyq, geom.n_chunks, geom.s_slots, geom.cw), jnp.float32)
+    check_block(out_block, out_shape.shape, "mxu expand out")
+    out_spec = pl.BlockSpec(out_block, out_index,
+                            memory_space=pltpu.VMEM)
+    assert nw % 2 == 0, nw      # nyp_pad is even by construction
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nw,),
+        grid=(nw // 2,),
         in_specs=[
-            pl.BlockSpec((f, s_blk), lambda w, st: (0, 0),
+            pl.BlockSpec((f, s_blk), lambda t, st: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -255,7 +272,7 @@ def expand_call(packed: jax.Array, in_slot: jax.Array, starts: jax.Array,
         ])
     return pl.pallas_call(
         functools.partial(_expand_kernel, s_blk, max_p, f, geom.cap, cpb,
-                          tile_p),
+                          tile_p, nsc),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
