@@ -348,6 +348,11 @@ class SimConfig:
                                            # gather (roofline #4)
     emit_tile: int = 64                    # emit DMA tile (rows);
                                            # <=0 disables emit
+    exact_overflow: bool = True            # rank-overflow particles get
+                                           # an exact all-pairs update
+                                           # (lax.cond-gated: free when
+                                           # no cell exceeds capacity)
+                                           # instead of ballistic motion
 
     @property
     def num_cells(self) -> int:
