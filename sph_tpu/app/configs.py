@@ -42,10 +42,13 @@ class BenchConfig:
     grid_cap: int = P.GRID_DIM_CAP
     cell_capacity: int = 8
     viz_export: bool = False
-    emit_rows: bool = True            # in-kernel particle-row emit
-                                      # (off at 4M: the window-padded
-                                      # emit buffer + rows array add
-                                      # ~4.7 GB HBM at that scale)
+    emit_rows: bool = False           # in-kernel particle-row emit:
+                                      # measured 9x SLOWER than the
+                                      # row gather as built (serial
+                                      # tile DMAs — PERF.md round-4
+                                      # A/B); re-enable per config
+                                      # only when a pipelined version
+                                      # measures as a win
 
 
 CONFIGS = {

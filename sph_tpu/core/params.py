@@ -340,12 +340,19 @@ class SimConfig:
                                            # fraction of (q, c) blocks;
                                            # <=0 or >=1 = dense sweeps
                                            # only (PERF.md roofline #2)
-    emit_rows: bool = True                 # force kernel streams its
+    emit_rows: bool = False                # force kernel streams its
                                            # outputs straight to
                                            # window-padded particle
                                            # rows instead of the
                                            # per-substep table row
-                                           # gather (roofline #4)
+                                           # gather (roofline #4).
+                                           # MEASURED LOSS as built:
+                                           # serial per-tile DMA waits
+                                           # cost 278 vs 30 ms/substep
+                                           # at 131k (PERF.md round-4
+                                           # A/B) — off until the
+                                           # double-buffered version
+                                           # beats the gather
     emit_tile: int = 64                    # emit DMA tile (rows);
                                            # <=0 disables emit
     exact_overflow: bool = True            # rank-overflow particles get
