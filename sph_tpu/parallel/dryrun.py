@@ -112,6 +112,60 @@ def run(n_devices: int) -> None:
     errp = float(np.abs(rap - sap).max())
     assert errp < 1e-4, f"slab-pallas diverged from single-device: {errp}"
 
+    # --- engine 1c: slab-pallas RIVER mode (VERDICT r3 weak #4): the
+    # stream-emit sink teleports particles along global z — the slab
+    # axis — so the all_to_all respawn router must deliver them across
+    # arbitrary slab distances without loss.  Tiny shapes again. ---
+    from sph_tpu.scene.river import (RiverSpec, generate_river_terrain,
+                                     river_params)
+    import jax.numpy as jnp
+    spawn_r = spawn_standard(256, box_half=half_p, seed=3)
+    state_r = state_from_spawn(spawn_r)
+    params_r = FluidParams.default(
+        box_half=half_p.astype(np.float32)).derive_mass()
+    spec = RiverSpec.random(3)
+    # both engines give rank-overflow rows exact neighborhood physics
+    # (pallas_sweeps._overflow_nbr / slab_pallas._overflow_nbr_slab),
+    # so this stage validates the all_to_all ROUTER and the slab
+    # overflow fallback together
+    simr = SimConfig(n=state_r.n, grid_dims=dims_p,
+                     neighbor_impl="pallas", river_mode=True,
+                     cell_capacity=8)
+    terrain = generate_river_terrain(spec, (0.0, 0.0, 0.0),
+                                     tuple(half_p), res=simr.terrain_res)
+    params_r = river_params(params_r, spec, (0.0, 0.0, 0.0),
+                            tuple(half_p))
+    # force z-sink respawns toward the emitter's slab
+    params_r = params_r.replace(
+        river_sink_z_max=jnp.float32(0.0),
+        river_emitter_pos=jnp.asarray([0.0, 1.0, -2.8], jnp.float32),
+        river_sink_y=jnp.float32(-20.0))
+    scfgr = slabs.make_slab_config(simr, n_devices, state_r.n)
+    str_ = slabs.shard_by_slab(state_r, params_r, scfgr, mesh)
+    stepr = slab_pallas.make_slab_pallas_substep(mesh, scfgr,
+                                                 river_mode=True)
+    rbuf = SceneBuffers.create(simr).replace(terrain=jnp.asarray(terrain))
+    n_sub_r = 2
+    for _ in range(n_sub_r):
+        str_, rbuf = stepr(str_, params_r, params_r.dt, rbuf)
+    jax.block_until_ready(str_.pos)
+    strh = jax.device_get(str_)
+    assert not bool(np.isnan(np.asarray(strh.pos)).any())
+    rbuf2 = SceneBuffers.create(simr).replace(terrain=jnp.asarray(terrain))
+    refr, _ = run_substeps(state_r, params_r, rbuf2, params_r.dt,
+                           n_sub_r, simr)
+    rvr = np.asarray(refr.valid) > 0
+    svr = np.asarray(strh.valid) > 0
+    assert svr.sum() == rvr.sum(), (
+        f"slab-pallas river routing lost particles: "
+        f"{int(svr.sum())} != {int(rvr.sum())}")
+    rar = np.asarray(refr.pos)[rvr]
+    rar = rar[np.argsort(np.asarray(refr.orig_id)[rvr], kind="stable")]
+    sar = np.asarray(strh.pos)[svr]
+    sar = sar[np.argsort(np.asarray(strh.orig_id)[svr], kind="stable")]
+    errr = float(np.abs(rar - sar).max())
+    assert errr < 1e-4, f"slab-pallas river diverged: {errr}"
+
     # --- engine 2: gather-parallel brute ---
     pad = 64 * n_devices
     spawn = spawn_standard(pad, seed=0)
@@ -130,7 +184,8 @@ def run(n_devices: int) -> None:
           f"{n_sub}-substep trajectory matches single-device, "
           f"max err {err:.2e}) + slab-PALLAS engine (production "
           f"kernels, fountain respawns routed cross-slab, max err "
-          f"{errp:.2e}) + gather engine ({pad} particles)")
+          f"{errp:.2e}; river-mode stream-emit sink routed cross-slab, "
+          f"max err {errr:.2e}) + gather engine ({pad} particles)")
 
 
 if __name__ == "__main__":

@@ -82,7 +82,16 @@ class SlabConfig:
 
 def make_slab_config(sim: SimConfig, n_dev: int, n_total: int,
                      balance: float = 2.0) -> SlabConfig:
-    """Size the per-device capacity with headroom for imbalance."""
+    """Size the per-device capacity with headroom for imbalance.
+
+    Emitter modes (river/fountain) teleport respawned particles to the
+    emitter's slab (``StreamEmit.comp:33-58``), so in the worst case a
+    single slab must hold the ENTIRE population: capacity rises to
+    ``n_total`` per shard.  State arrays are small (15 f32 fields);
+    the big dense tables scale with the LOCAL GRID, not with shard
+    capacity, so this costs little memory and keeps the router exact."""
+    if sim.river_mode or sim.fountain_mode:
+        balance = float(n_dev)
     nx, ny, nz = sim.grid_dims
     nz = ((nz + n_dev - 1) // n_dev) * n_dev
     n_shard = int(n_total / n_dev * balance)
