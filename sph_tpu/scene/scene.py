@@ -128,6 +128,31 @@ class Scene:
         no recompile — everything traced)."""
         self.params = params_from_settings(self.settings).replace(
             gravity=self.params.gravity)   # reaction may have tipped it
+        self._track_grid()
+
+    def _track_grid(self) -> None:
+        """Live grid tracking. The reference recomputes grid extents
+        every substep and reallocs when the cell count changes
+        (``SPHFluid3D.cpp:282-304,366-375``), so a live-grown container
+        keeps correct binning. ``box.half`` is a LIVE (non-structural)
+        key here: without this, growing the box past the spawn-time
+        grid silently clamps outlying particles into edge cells. When
+        the required dims exceed the current grid, rebuild the config
+        with each growing axis bucketed up to the next multiple of 8
+        cells — the bucket amortizes recompiles (the TPU analogue of
+        the realloc) under a continuous grow drag. Shrinks keep the
+        larger grid (harmless: extra empty cells) until the next
+        respawn resizes exactly."""
+        s = self.settings
+        req = P.compute_grid_dims(
+            s.shape_type, np.asarray(s.box_half, np.float32),
+            np.asarray(s.box_euler, np.float32), s.h)
+        cur = self.config.grid_dims
+        if all(r <= c for r, c in zip(req, cur)):
+            return
+        # compute_grid_dims already rounds to 8-cell buckets and caps
+        new = tuple(max(r, c) for r, c in zip(req, cur))
+        self.config = dataclasses.replace(self.config, grid_dims=new)
 
     def apply_settings(self, new: SceneSettings) -> None:
         if needs_respawn(self.settings, new):

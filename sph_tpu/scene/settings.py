@@ -365,8 +365,10 @@ def needs_respawn(old: SceneSettings, new: SceneSettings) -> bool:
     for _, attr, _, is_structural in PRESET_FIELDS:
         if is_structural and getattr(old, attr) != getattr(new, attr):
             return True
-    return (old.shape_type != new.shape_type
-            or list(old.box_half) != list(new.box_half))
+    # box.half stays LIVE like the reference's ImGui box drag (Scene0p
+    # sets pendingReset only on count/shape/mix edits); the grid is
+    # retracked by Scene._track_grid (SPHFluid3D.cpp:282-304 analogue)
+    return old.shape_type != new.shape_type
 
 
 def to_water_params(s: SceneSettings):
