@@ -356,10 +356,18 @@ class SimConfig:
     emit_tile: int = 64                    # emit DMA tile (rows);
                                            # <=0 disables emit
     exact_overflow: bool = True            # rank-overflow particles get
-                                           # an exact all-pairs update
-                                           # (lax.cond-gated: free when
-                                           # no cell exceeds capacity)
-                                           # instead of ballistic motion
+                                           # an exact update (switch-
+                                           # gated: free when no cell
+                                           # exceeds capacity) instead
+                                           # of ballistic motion
+    overflow_allpairs: bool = False        # A/B: the exact fallback
+                                           # sources from ALL n sorted
+                                           # rows (movf x n pairs; the
+                                           # round-4 first cut — 2.3 s
+                                           # per substep at 1M with 170
+                                           # steady overflow) instead of
+                                           # the 27-cell neighborhood
+                                           # gather
 
     @property
     def num_cells(self) -> int:

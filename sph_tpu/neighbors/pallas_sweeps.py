@@ -973,6 +973,185 @@ def _overflow_exact(s: PL.Sorted, m: PL.MetaFields, fluid: jax.Array,
     return didx, dmask, new_pos_i, new_vel_i, acc_i, rho_i, pres_i, foam_i
 
 
+def _overflow_compact(ofl: jax.Array, movf: int):
+    """Stable-compact the overflow rows to the front: (didx, dmask)."""
+    n = ofl.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    oflag = jnp.where(ofl, 0, 1).astype(jnp.int32)
+    _, oidx = lax.sort((oflag, iota), dimension=0, num_keys=1,
+                       is_stable=True)
+    didx = oidx[:movf]
+    return didx, ofl[didx]
+
+
+def _gather_tbl_sources(dest_key: jax.Array, tbl_a: jax.Array,
+                        tbl_b: jax.Array, rho_a: jax.Array,
+                        rho_b: jax.Array, gt, geom: PL.PlaneGeom):
+    """27-cell in-table sources for the exact-overflow fallback.
+
+    Gathers straight from the class-split dense tables (pos+vel) and
+    the kernels' density outputs — the EXACT source set the sweep
+    kernels see (rank < 2*cap per class per cell; empty slots carry
+    SENTINEL_POS and distance-mask to zero).  Shared by the
+    single-device engine and the slab engine (whose halo rows arrive
+    pre-exchanged, so cross-slab sources ride the same gather).
+    Returns (pj [B,S,3], vj [B,S,3], rj [B,S], gp [B,S,3] | None)."""
+    gidx = PL.tbl_gather_idx(dest_key, geom)      # [B, 27*cap]
+    fa = tbl_a.reshape(6, -1)[:, gidx]            # [6, B, 27*cap]
+    fb = tbl_b.reshape(6, -1)[:, gidx]
+    src = jnp.concatenate([fa, fb], axis=2)       # [6, B, S]
+    pj = jnp.moveaxis(src[0:3], 0, -1)            # [B, S, 3]
+    vj = jnp.moveaxis(src[3:6], 0, -1)
+    rj = jnp.concatenate([rho_a.reshape(-1)[gidx],
+                          rho_b.reshape(-1)[gidx]], axis=1)
+    gp = None
+    if gt is not None:
+        ga = gt.tbl_a.reshape(3, -1)[:, gidx]
+        gb = gt.tbl_b.reshape(3, -1)[:, gidx]
+        gp = jnp.moveaxis(jnp.concatenate([ga, gb], axis=2), 0, -1)
+    return pj, vj, rj, gp
+
+
+def _ovf_gathered_density(pos_i: jax.Array, pj: jax.Array, rj: jax.Array,
+                          gp, params: FluidParams) -> jax.Array:
+    """Raw density over the gathered in-table + ghost sources (the
+    caller adds the overflow-set all-pairs term, whose diagonal is the
+    GLSL self term, SPHFluid.comp:89-106)."""
+    from sph_tpu.physics import kernels as KK
+    h = params.h
+    h2 = h * h
+    r2 = jnp.sum((pos_i[:, None, :] - pj) ** 2, axis=-1)
+    rho = params.mass * jnp.sum(
+        jnp.where((r2 < h2) & (rj > 0.0), KK.poly6(r2, h), 0.0), axis=1)
+    if gp is not None:
+        rg2 = jnp.sum((pos_i[:, None, :] - gp) ** 2, axis=-1)
+        rho = rho + params.mass * jnp.sum(
+            jnp.where(rg2 < h2, KK.poly6(rg2, h), 0.0), axis=1)
+    return rho
+
+
+def _ovf_force_xsph(pos_i, vel_i, foam_i, rho_i, pres_i, ids_i,
+                    pj, vj, rj, gp,
+                    opos, ovel, orho, opres, omask, oids,
+                    params: FluidParams, dt: jax.Array):
+    """Force + integrate + XSPH + foam for the overflow dest set, over
+    the three source partitions: gathered in-table rows (pj/vj/rj),
+    the overflow set (opos..oids — local, or all_gather'd under
+    slabs), and gathered ghosts gp (rho0/vel0/pres0,
+    SPHFluid.comp:71-83).  Oracle semantics (physics/brute_force)."""
+    from sph_tpu.physics import brute_force as BF
+    from sph_tpu.physics import kernels as KK
+    h = params.h
+    h2 = h * h
+    r0 = params.rest_density
+
+    dr = pos_i[:, None, :] - pj
+    r2 = jnp.sum(dr * dr, axis=-1)
+    r = jnp.sqrt(r2)
+    prj = jnp.maximum(params.gas_constant * (rj - r0), 0.0)
+    maskf = (r < h) & (rj > 0.0)
+    fp, fv, gcf, lcf = C.pair_force_terms(
+        dr, r, vel_i[:, None, :], vj, pres_i[:, None], prj, rj,
+        h, params.mass, maskf)
+    accum = C.ForceAccum(fp.sum(1), fv.sum(1), gcf.sum(1), lcf.sum(1))
+    a2 = BF.force_pass(pos_i, vel_i, pres_i, ids_i,
+                       opos, ovel, orho, opres, omask, oids, params)
+    accum = C.ForceAccum(*(x + y for x, y in zip(accum, a2)))
+    if gp is not None:
+        drg = pos_i[:, None, :] - gp
+        rg = jnp.sqrt(jnp.sum(drg * drg, axis=-1))
+        rhog = jnp.where(rg < h, r0, 0.0)
+        fpg, fvg, gcg, lcg = C.pair_force_terms(
+            drg, rg, vel_i[:, None, :], jnp.zeros_like(gp),
+            pres_i[:, None], jnp.zeros_like(rhog), rhog,
+            h, params.mass, (rg < h) & (rhog > 0.0))
+        accum = C.ForceAccum(*(x + y.sum(1) for x, y in zip(
+            accum, (fpg, fvg, gcg, lcg))))
+    acc_i = C.assemble_acc(accum, rho_i, params)
+    new_pos_i, new_vel_i = C.integrate(pos_i, vel_i, acc_i, dt)
+
+    # xsph: fresh self pos/vel vs stale sources (brute_force.py:116)
+    rr2 = jnp.sum((new_pos_i[:, None, :] - pj) ** 2, axis=-1)
+    wx = jnp.where((rr2 < h2) & (rj > 0.0), KK.poly6(rr2, h), 0.0)
+    mw = wx * params.mass / jnp.maximum(rj, 1e-12)
+    xs = jnp.sum((vj - new_vel_i[:, None, :]) * mw[..., None], axis=1)
+    xn = jnp.sum(wx, axis=1)
+    xs2, xn2 = BF.xsph_pass(new_pos_i, new_vel_i, ids_i,
+                            opos, ovel, orho, omask, oids, params)
+    xs, xn = xs + xs2, xn + xn2
+    if gp is not None:
+        rrg2 = jnp.sum((new_pos_i[:, None, :] - gp) ** 2, axis=-1)
+        wxg = jnp.where(rrg2 < h2, KK.poly6(rrg2, h), 0.0)
+        mwg = wxg * params.mass / r0
+        xs = xs + jnp.sum((-new_vel_i[:, None, :]) * mwg[..., None],
+                          axis=1)
+        xn = xn + jnp.sum(wxg, axis=1)
+    new_vel_i = C.speed_cap(C.apply_xsph(new_vel_i, xs, xn), h, dt)
+    foam_i = C.foam_update(foam_i, new_vel_i, rho_i, params)
+    return new_pos_i, new_vel_i, acc_i, foam_i
+
+
+def _overflow_nbr(s: PL.Sorted, ofl: jax.Array, ft, rho_a: jax.Array,
+                  rho_b: jax.Array, gt, params: FluidParams,
+                  dt: jax.Array, geom: PL.PlaneGeom, B: int, movf: int):
+    """Exact WCSPH update for rank-overflow particles, neighborhood
+    sources (the cheap form of :func:`_overflow_exact` — same math,
+    same oracle semantics, but each dest sources from its 27 cells'
+    IN-TABLE rows + an all-pairs block over the overflow set + the
+    gathered ghost-table rows, instead of from all ``n`` sorted rows.
+    Cost scales with the actual overflow count through the
+    ``B``-bucket ``lax.switch`` ladder in :func:`substep`; the round-4
+    all-pairs cut cost 2.3 s/substep at 1M with 170 steady-state
+    overflow — movf(18k) x n(1.1M) pairs every substep, measured
+    2379 ms vs 201 with this form, PERF.md).
+
+    Exactness argument: a dest's kernel support (radius h <= cell
+    size) is covered by its 27-cell neighborhood.  Sources within it
+    partition into (a) in-table rows — gathered from the dense class
+    tables with the kernels' own floored densities (rho_a/rho_b);
+    (b) other overflow rows — not in tables, covered by the all-pairs
+    block over the compacted dest set (its diagonal supplies the self
+    term the GLSL density loop includes); (c) contributing ghosts —
+    gathered from the ghost tables, exactly the ghost set the kernels
+    see.  Everything is a TABLE GATHER: no scatter-add counts build,
+    no n-row ghost compaction sort (both measured as the 49 ms/substep
+    bench-vs-profiler gap at ghost_1m, PERF.md round-4).
+
+    ``B``: rows actually computed (first B of the compacted movf).
+    Returns movf-padded (didx, dmask, pos, vel, acc, rho, pres, foam).
+    """
+    from sph_tpu.physics import brute_force as BF
+    r0 = params.rest_density
+    didx, dmask = _overflow_compact(ofl, movf)
+    dB = didx[:B]
+    amask = ofl[dB]
+    pos_i = s.pos[dB]
+    vel_i = s.vel[dB]
+
+    pj, vj, rj, gp = _gather_tbl_sources(s.key[dB], ft.tbl_a, ft.tbl_b,
+                                         rho_a, rho_b, gt, geom)
+    rho_raw = _ovf_gathered_density(pos_i, pj, rj, gp, params)
+    rho_raw = rho_raw + BF.density_pass(pos_i, pos_i, amask, params)
+    rho_i = jnp.maximum(rho_raw, C.DENSITY_FLOOR_FRAC * r0)
+    pres_i = jnp.maximum(params.gas_constant * (rho_i - r0), 0.0)
+
+    ids_i = dB
+    orho = jnp.where(amask, rho_i, 0.0)
+    opres = jnp.where(amask, pres_i, 0.0)
+    new_pos_i, new_vel_i, acc_i, foam_i = _ovf_force_xsph(
+        pos_i, vel_i, s.foam[dB], rho_i, pres_i, ids_i,
+        pj, vj, rj, gp, pos_i, vel_i, orho, opres, amask, ids_i,
+        params, dt)
+
+    def padm(x):
+        pad = [(0, movf - B)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad) if movf > B else x
+
+    return (didx, dmask & (jnp.arange(movf) < B), padm(new_pos_i),
+            padm(new_vel_i), padm(acc_i), padm(rho_i), padm(pres_i),
+            padm(foam_i))
+
+
 def build_aux(state: ParticleState, params: FluidParams,
               config: SimConfig):
     """Per-frame neighbor aux: the static ghost tables (or NO_GHOSTS).
@@ -1127,17 +1306,16 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     foam = jnp.where(fluid, foam, s.foam)
 
     # exact-overflow fallback (VERDICT r3 weak #3): rank-overflow rows
-    # get oracle physics via a compacted all-pairs update instead of a
-    # ballistic step that never drains. lax.cond keeps it free in the
-    # steady state (jnp.any(ofl) is False once the spawn transient
-    # disperses). Reference analogue: unbounded per-cell lists,
-    # BuildGrid.comp:34-38 — no capacity, so no such hole to patch.
+    # get oracle physics via a compacted neighborhood-gathered update
+    # instead of a ballistic step that never drains.  A lax.switch
+    # ladder sizes the dest bucket to the ACTUAL overflow count (1M
+    # holds ~170 steady-state overflow — a fallback priced at movf is
+    # paid every substep, see PERF.md round-4), and the 0 branch keeps
+    # it free when no cell exceeds capacity.  Reference analogue:
+    # unbounded per-cell lists, BuildGrid.comp:34-38 — no capacity, so
+    # no such hole to patch.
     movf = _movf_bound(n, config)
     if movf:
-        def _exact():
-            return _overflow_exact(s, m, fluid, ofl, new_rho, params,
-                                   dt, movf)
-
         def _skip():
             z3 = jnp.zeros((movf, 3), jnp.float32)
             z1 = jnp.zeros((movf,), jnp.float32)
@@ -1145,8 +1323,26 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
                     jnp.zeros((movf,), jnp.bool_), z3, z3, z3, z1, z1,
                     z1)
 
+        if getattr(config, "overflow_allpairs", False):
+            branches = [_skip,
+                        lambda: _overflow_exact(s, m, fluid, ofl,
+                                                new_rho, params, dt,
+                                                movf)]
+            thresholds = [0]
+        else:
+            buckets = [b for b in (512, 4096) if b < movf] + [movf]
+
+            def mk(b):
+                return lambda: _overflow_nbr(s, ofl, ft, rho_a, rho_b,
+                                             gt, params, dt, geom, b,
+                                             movf)
+
+            branches = [_skip] + [mk(b) for b in buckets]
+            thresholds = [0] + buckets[:-1]
+        cnt_o = jnp.sum(ofl.astype(jnp.int32))
+        sel = sum((cnt_o > t).astype(jnp.int32) for t in thresholds)
         didx, dmask, pos_o, vel_o, acc_o, rho_o, pres_o, foam_o = \
-            lax.cond(jnp.any(ofl), _exact, _skip)
+            lax.switch(sel, branches)
 
         def put(dst, src):
             sel = dmask[:, None] if src.ndim == 2 else dmask

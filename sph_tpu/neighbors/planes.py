@@ -568,6 +568,40 @@ def build_ghost_tables(state: ParticleState, params: FluidParams,
                        overflow=overflow)
 
 
+def tbl_gather_idx(key: jax.Array, geom: PlaneGeom) -> jax.Array:
+    """Dest cell keys [B] -> flat gather indices [B, 27*cap] into ONE
+    class table flattened per field (``[nyq*nc*s_slots*CW]`` — the
+    same layout for fluid A/B, ghost A/B, and the density outputs).
+
+    The 27-cell neighborhood is expressed in PADDED coordinates, so
+    row offsets off the grid land in sentinel rows (or, under the
+    slab engine, in the halo rows its ppermute exchange filled with
+    the neighbor slabs' edge sources) and lane offsets off the grid
+    land in sentinel lanes — all carrying SENTINEL_POS, which
+    distance-masks to zero contribution.  No bounds handling needed."""
+    cap = geom.cap
+    kc = jnp.minimum(key, geom.num_cells - 1)
+    x = kc % geom.nx
+    z = (kc // geom.nx) % geom.nz
+    y = kc // (geom.nx * geom.nz)
+    off = jnp.arange(-1, 2, dtype=jnp.int32)
+    dy, dz, dx = [o.reshape(-1) for o in jnp.meshgrid(
+        off, off, off, indexing="ij")]
+    xp = x[:, None] + 1 + dx[None, :]             # [B, 27]
+    zp = z[:, None] + 1 + dz[None, :]
+    yp = y[:, None] + 1 + dy[None, :]
+    q = yp // 2
+    par = yp % 2
+    lane = zp * geom.nxp + xp
+    c = lane // geom.cw
+    li = lane - c * geom.cw
+    k = jnp.arange(cap, dtype=jnp.int32)          # rank within class
+    slot = par[..., None] * cap + k               # [B, 27, cap]
+    flat = (((q[..., None] * geom.n_chunks + c[..., None])
+             * geom.s_slots + slot) * geom.cw + li[..., None])
+    return flat.reshape(key.shape[0], -1)
+
+
 def out_flat_index(s: Sorted, geom: PlaneGeom) -> jax.Array:
     """Per sorted particle: flat index into the CONCATENATED kernel
     outputs ``[class A | class B]`` where each class output is

@@ -254,3 +254,81 @@ def test_slab_pallas_ghosts_hoisted_builder():
     sa = spos[np.argsort(sid, kind="stable")]
     err = np.abs(ra - sa).max()
     assert err < 1e-4, f"slab-pallas ghost trajectory diverged: {err}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_slab_pallas_overflow_exact_matches_single_device():
+    """Slab exact-overflow fallback (round-4): when a cell exceeds
+    capacity, the slab engine must give rank-overflow rows the same
+    oracle physics as the single-device engine's ``_overflow_nbr``
+    (table-gathered neighborhood + all_gather'd global ovf pairs),
+    not a ballistic step.  cell_capacity=4 forces overflow."""
+    from sph_tpu.core.params import grid_min
+    from sph_tpu.neighbors import planes as PL
+    from sph_tpu.parallel import slab_pallas
+
+    # 6 particles per cell in a 3x2xZ block SPANNING slab boundaries
+    # (z is the slab axis): ranks 4-5 overflow capacity 4, and the
+    # overflow cells' 27-neighborhoods cross slab edges, exercising
+    # the halo-row table gather and the all_gather'd ovf<->ovf pairs
+    half = (3.0, 3.0, 3.0)
+    h = 0.4
+    params = FluidParams.default(
+        h=h, box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), h)
+    gmin = np.asarray(grid_min(params), np.float32)
+    rng = np.random.RandomState(7)
+    pos = []
+    for i in range(6, 9):
+        for j in range(4, 6):
+            for k in range(3, min(12, dims[2] - 1)):
+                base = gmin + (np.array([i, j, k], np.float32) + 0.5) * h
+                for _ in range(6):
+                    pos.append(base + (rng.rand(3).astype(np.float32)
+                                       - 0.5) * 0.3 * h)
+    pos = np.stack(pos)
+    n = pos.shape[0]
+    spawn = S.SpawnResult(
+        pos=pos, vel=np.zeros((n, 3), np.float32),
+        ghost=np.zeros((n,), np.int32),
+        face=np.full((n,), -1, np.int32),
+        color_group=np.zeros((n,), np.int32), count=n)
+    state = S.state_from_spawn(spawn)
+    simp = SimConfig(n=state.n, grid_dims=dims,
+                     neighbor_impl="pallas", cell_capacity=4)
+    n_dev = 4
+    mesh = slabs.make_mesh_slabs(n_dev)
+    scfg = slabs.make_slab_config(simp, n_dev, state.n)
+    assert scfg.cell_capacity == 4
+
+    # the fixture must actually overflow, else the test is vacuous
+    geom = PL.geom_for(simp)
+    key = PL.compute_keys_ymajor(state.pos, state.fluid_mask(), params,
+                                 geom)
+    skey = np.sort(np.asarray(key))
+    rank = np.asarray(PL._ranks(jnp.asarray(skey)))
+    n_ovf = int(((rank >= simp.cell_capacity) &
+                 (skey < geom.num_cells)).sum())
+    assert n_ovf > 0, "fixture does not overflow at capacity 4"
+
+    n_sub = 3
+    buf = SceneBuffers.create(simp)
+    ref, _ = run_substeps(state, params, buf, params.dt, n_sub, simp)
+
+    st = slabs.shard_by_slab(state, params, scfg, mesh)
+    step = slab_pallas.make_slab_pallas_substep(mesh, scfg)
+    sbuf = SceneBuffers.create(simp)
+    for _ in range(n_sub):
+        st, sbuf = step(st, params, params.dt, sbuf)
+    st = jax.device_get(st)
+
+    rid = np.asarray(ref.orig_id)[np.asarray(ref.valid) > 0]
+    rpos = np.asarray(ref.pos)[np.asarray(ref.valid) > 0]
+    sid = np.asarray(st.orig_id)[np.asarray(st.valid) > 0]
+    spos = np.asarray(st.pos)[np.asarray(st.valid) > 0]
+    assert len(sid) == len(rid), "particles lost"
+    ra = rpos[np.argsort(rid, kind="stable")]
+    sa = spos[np.argsort(sid, kind="stable")]
+    err = np.abs(ra - sa).max()
+    assert err < 1e-4, f"slab overflow fallback diverged: {err}"
