@@ -156,6 +156,27 @@ def gather_body(x, oa, ob, ra, rb, s_):
 timed("output_gather(rows)", scanned(gather_body), jnp.float32(1.0),
       out_a, out_b, rho_a, rho_b, s)
 
+
+def gather_cols_body(x, oa, ob, ra, rb, s_):
+    # per-field two-gather + select: no concat / no [T,10] transpose
+    # materialization (the rows variant copies ~1.7 GB of table before
+    # gathering 44 MB of payload)
+    idx = PL.out_flat_index(s_, geom)
+    t = geom.nyq * geom.n_chunks * geom.s_slots * geom.cw
+    ia = jnp.minimum(idx, t - 1)
+    ib = jnp.maximum(idx - t, 0)
+    sel = idx < t
+    cols = []
+    for f in range(10):
+        fa = (oa[f] if f < 9 else ra).reshape(-1)
+        fb = (ob[f] if f < 9 else rb).reshape(-1)
+        cols.append(jnp.where(sel, fa[ia], fb[ib]))
+    per = jnp.stack(cols, axis=1)
+    return (per[:, 0] * 1e-20).sum() + x * 1.0000001
+
+timed("output_gather(cols)", scanned(gather_cols_body), jnp.float32(1.0),
+      out_a, out_b, rho_a, rho_b, s)
+
 # --- row-emit variant (PERF.md roofline fix #4): force+xsph with the
 # in-kernel particle-row emit + the monotone reorder replacing the
 # table row gather ---
