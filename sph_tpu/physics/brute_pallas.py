@@ -63,7 +63,7 @@ def _density_kernel(n: int, pvec_ref, jref, iref, out_ref):
     out_ref[...] = jnp.broadcast_to(rho, out_ref.shape)
 
 
-def _force_kernel(n: int, pvec_ref, jref, iref, out_ref):
+def _force_kernel(n: int, ti: int, pvec_ref, jref, iref, out_ref):
     """Force + integrate + XSPH + apply + CFL cap for one i-row block.
 
     i rows: pos(0:3) vel(3:6) rho(6) pres(7).
@@ -82,9 +82,9 @@ def _force_kernel(n: int, pvec_ref, jref, iref, out_ref):
     rho_i = pi[:, 6:7]
     pres_i = pi[:, 7:8]
 
-    gi = (pl.program_id(0) * TI
-          + lax.broadcasted_iota(jnp.int32, (TI, 1), 0))
-    lj = lax.broadcasted_iota(jnp.int32, (TI, n), 1)
+    gi = (pl.program_id(0) * ti
+          + lax.broadcasted_iota(jnp.int32, (ti, 1), 0))
+    lj = lax.broadcasted_iota(jnp.int32, (ti, n), 1)
     not_self = gi != lj
 
     jx, jy, jz = jref[0:1, :], jref[1:2, :], jref[2:3, :]
@@ -165,15 +165,16 @@ def _force_kernel(n: int, pvec_ref, jref, iref, out_ref):
     vscl = jnp.where(spd > max_speed,
                      max_speed / jnp.maximum(spd, 1e-30), 1.0)
 
-    z = jnp.zeros((TI, 128 - 9), jnp.float32)
+    z = jnp.zeros((ti, 128 - 9), jnp.float32)
     out_ref[...] = jnp.concatenate(
         [npx, npy, npz, nvx * vscl, nvy * vscl, nvz * vscl, ax, ay, az,
          z], axis=1)
 
-def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool):
+def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool,
+           ti: int = TI):
     """Run both kernels over [Np(128-mult), ...] padded arrays."""
     np_ = pos.shape[0]
-    assert np_ % TI == 0 and np_ % 128 == 0, np_
+    assert np_ % ti == 0 and np_ % 128 == 0, np_
 
     jrows = jnp.concatenate([
         pos.T, vel.T, rho[None, :], pres[None, :],
@@ -185,14 +186,14 @@ def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool):
 
     grid_spec = lambda: pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(np_ // TI,),
+        grid=(np_ // ti,),
         in_specs=[
             pl.BlockSpec((9, np_), lambda i, pv: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, 128), lambda i, pv: (i, 0),
+            pl.BlockSpec((ti, 128), lambda i, pv: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TI, 128), lambda i, pv: (i, 0),
+        out_specs=pl.BlockSpec((ti, 128), lambda i, pv: (i, 0),
                                memory_space=pltpu.VMEM))
     out_shape = jax.ShapeDtypeStruct((np_, 128), jnp.float32)
 
@@ -206,7 +207,7 @@ def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool):
 
 
 def substep(state: ParticleState, params: FluidParams,
-            dt: jax.Array) -> ParticleState:
+            dt: jax.Array, ti: int = TI) -> ParticleState:
     """Drop-in for ``brute_force.substep`` (same all-pairs semantics,
     Pallas evaluation).  Order-preserving: no sort, rows stay put."""
     interpret = _interpret_default()
@@ -221,7 +222,7 @@ def substep(state: ParticleState, params: FluidParams,
 
     rho_raw, _, irows, grid_spec, out_shape = _calls(
         pos, vel, _pad_to(state.density, np_),
-        _pad_to(state.pressure, np_), contrib_p, pvec, interpret)
+        _pad_to(state.pressure, np_), contrib_p, pvec, interpret, ti)
 
     density, pressure = C.finish_density(
         rho_raw[:n], state.ghost, contrib, state.density,
@@ -234,7 +235,7 @@ def substep(state: ParticleState, params: FluidParams,
         contrib_p[None, :]], axis=0)
     i_f = irows([pos, vel, rho_p[:, None], pres_p[:, None]])
     out = pl.pallas_call(
-        functools.partial(_force_kernel, np_),
+        functools.partial(_force_kernel, np_, ti),
         grid_spec=grid_spec(), out_shape=out_shape,
         interpret=interpret, compiler_params=_COMPILER_PARAMS,
     )(pvec, jrows, i_f)[:n]
