@@ -51,6 +51,10 @@ def main() -> None:
         _ab["sweep_active_frac"] = float(_os.environ["SPH_ACTIVE_FRAC"])
     if _os.environ.get("SPH_EXACT_OVERFLOW") is not None:
         _ab["exact_overflow"] = _os.environ["SPH_EXACT_OVERFLOW"] == "1"
+    if _os.environ.get("SPH_GATHER_COLS") is not None:
+        _ab["gather_cols"] = _os.environ["SPH_GATHER_COLS"] == "1"
+    if _os.environ.get("SPH_MAX_CWH") is not None:
+        _ab["plane_max_cwh"] = int(_os.environ["SPH_MAX_CWH"])
     if _ab:
         sim = _dc.replace(sim, **_ab)
         print(f"[bench] A/B overrides: {_ab}", file=sys.stderr)

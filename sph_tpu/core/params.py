@@ -368,6 +368,14 @@ class SimConfig:
                                            # steady overflow) instead of
                                            # the 27-cell neighborhood
                                            # gather
+    gather_cols: bool = False              # output gather variant: per-
+                                           # field two-gather + select
+                                           # (no [10, T] concat / [T, 10]
+                                           # transpose materialization)
+                                           # instead of the one row
+                                           # gather on the transposed
+                                           # table — A/B via profile
+                                           # stage output_gather(cols)
 
     @property
     def num_cells(self) -> int:

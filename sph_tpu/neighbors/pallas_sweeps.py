@@ -1253,6 +1253,21 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
         dst_idx = jnp.clip(wdst[win] + (iota - wst[win]), 0,
                            em.shape[0] - 1)
         per = em[dst_idx[:nf], :10]                           # [nf, 10]
+    elif getattr(config, "gather_cols", False):
+        # per-field two-gather + select: no [10, T] concat and no
+        # [T, 10] transpose materialization — 10 gathers with the SAME
+        # monotone index against each flat field plane
+        idx = PL.out_flat_index(s, geom)[:nf]
+        t_class = geom.nyq * geom.n_chunks * geom.s_slots * geom.cw
+        ia = jnp.minimum(idx, t_class - 1)
+        ib = jnp.maximum(idx - t_class, 0)
+        sel = idx < t_class
+        cols = []
+        for f in range(10):
+            fa = (out_a[f] if f < 9 else rho_a).reshape(-1)
+            fb = (out_b[f] if f < 9 else rho_b).reshape(-1)
+            cols.append(jnp.where(sel, fa[ia], fb[ib]))
+        per = jnp.stack(cols, axis=1)                         # [nf, 10]
     else:
         # one row gather back to (sorted) particle order (measured at
         # 1M, see PERF.md 10: the XLA row gather beats every FULL-table

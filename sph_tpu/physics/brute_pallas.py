@@ -47,23 +47,36 @@ def _pad_to(x: jax.Array, n: int, fill: float = 0.0) -> jax.Array:
     return jnp.pad(x, pad, constant_values=fill)
 
 
-def _density_kernel(n: int, pvec_ref, jref, iref, out_ref):
+def _jslices(n: int, jc: int):
+    """Static j-chunk slices: jc <= 0 or >= n gives one full-width pass
+    (the measured-default form); smaller jc bounds each round's [TI, jc]
+    temporaries so Mosaic keeps them register-resident instead of
+    spilling [TI, N] intermediates through VMEM."""
+    step = n if jc <= 0 or jc >= n else jc
+    return [(j0, min(step, n - j0)) for j0 in range(0, n, step)]
+
+
+def _density_kernel(n: int, jc: int, pvec_ref, jref, iref, out_ref):
     """rho_raw rows: mass * sum_j contrib_j * poly6(r2), self included."""
     h2 = pvec_ref[_PV_H2]
     pi = iref[...]                                   # [TI, 128]
     px, py, pz = pi[:, 0:1], pi[:, 1:2], pi[:, 2:3]
-    dx = px - jref[0:1, :]
-    dy = py - jref[1:2, :]
-    dz = pz - jref[2:3, :]
-    r2 = dx * dx + dy * dy + dz * dz
-    d = jnp.maximum(h2 - r2, 0.0)
-    w = jnp.where(r2 < h2, d * d * d, 0.0) * jref[8:9, :]
-    rho = (jnp.sum(w, axis=1, keepdims=True)
-           * (pvec_ref[_PV_MASS] * pvec_ref[_PV_POLY6]))
+    rho = None
+    for j0, w_ in _jslices(n, jc):
+        dx = px - jref[0:1, j0:j0 + w_]
+        dy = py - jref[1:2, j0:j0 + w_]
+        dz = pz - jref[2:3, j0:j0 + w_]
+        r2 = dx * dx + dy * dy + dz * dz
+        d = jnp.maximum(h2 - r2, 0.0)
+        w = jnp.where(r2 < h2, d * d * d, 0.0) * jref[8:9, j0:j0 + w_]
+        part = jnp.sum(w, axis=1, keepdims=True)
+        rho = part if rho is None else rho + part
+    rho = rho * (pvec_ref[_PV_MASS] * pvec_ref[_PV_POLY6])
     out_ref[...] = jnp.broadcast_to(rho, out_ref.shape)
 
 
-def _force_kernel(n: int, ti: int, pvec_ref, jref, iref, out_ref):
+def _force_kernel(n: int, ti: int, jc: int, pvec_ref, jref, iref,
+                  out_ref):
     """Force + integrate + XSPH + apply + CFL cap for one i-row block.
 
     i rows: pos(0:3) vel(3:6) rho(6) pres(7).
@@ -84,45 +97,53 @@ def _force_kernel(n: int, ti: int, pvec_ref, jref, iref, out_ref):
 
     gi = (pl.program_id(0) * ti
           + lax.broadcasted_iota(jnp.int32, (ti, 1), 0))
-    lj = lax.broadcasted_iota(jnp.int32, (ti, n), 1)
-    not_self = gi != lj
 
-    jx, jy, jz = jref[0:1, :], jref[1:2, :], jref[2:3, :]
-    jvx, jvy, jvz = jref[3:4, :], jref[4:5, :], jref[5:6, :]
-    rho_j = jref[6:7, :]
-    pres_j = jref[7:8, :]
-    live_j = (rho_j > 0.0) & (jref[8:9, :] > 0.0)
+    fpx = fpy = fpz = gcx = gcy = gcz = lc = jnp.zeros((ti, 1),
+                                                       jnp.float32)
+    for j0, w_ in _jslices(n, jc):
+        lj = j0 + lax.broadcasted_iota(jnp.int32, (ti, w_), 1)
+        not_self = gi != lj
+        jx, jy, jz = (jref[0:1, j0:j0 + w_], jref[1:2, j0:j0 + w_],
+                      jref[2:3, j0:j0 + w_])
+        jvx, jvy, jvz = (jref[3:4, j0:j0 + w_], jref[4:5, j0:j0 + w_],
+                         jref[5:6, j0:j0 + w_])
+        rho_j = jref[6:7, j0:j0 + w_]
+        pres_j = jref[7:8, j0:j0 + w_]
+        live_j = (rho_j > 0.0) & (jref[8:9, j0:j0 + w_] > 0.0)
 
-    dx = px - jx
-    dy = py - jy
-    dz = pz - jz
-    r2 = dx * dx + dy * dy + dz * dz
-    rinv = lax.rsqrt(jnp.maximum(r2, 1e-24))
-    r = r2 * rinv
-    mask = not_self & (r < h) & live_j
+        dx = px - jx
+        dy = py - jy
+        dz = pz - jz
+        r2 = dx * dx + dy * dy + dz * dz
+        rinv = lax.rsqrt(jnp.maximum(r2, 1e-24))
+        r = r2 * rinv
+        mask = not_self & (r < h) & live_j
 
-    # pair_force_terms (physics/common.py:40-56), w folded into m/rho
-    m_over_rho = jnp.where(mask, mass / jnp.maximum(rho_j, 1e-12), 0.0)
-    dcl = jnp.maximum(h - r, 0.0)
-    gmag = jnp.where(r2 > 0.0, pvec_ref[_PV_SPIKY] * dcl * dcl * rinv,
-                     0.0)
-    lapw = pvec_ref[_PV_VISC_LAP] * dcl
-    pscale = -(pres_i + pres_j) * 0.5 * m_over_rho * gmag
-    # mu folds into the per-pair viscous term (assemble_acc applies it
-    # outside the sum; multiplication distributes — fp32-equal within
-    # the oracle tolerance, same as the production table kernel)
-    vscale = m_over_rho * lapw * mu
-    fpx = jnp.sum(pscale * dx + vscale * (jvx - vx), axis=1,
-                  keepdims=True)
-    fpy = jnp.sum(pscale * dy + vscale * (jvy - vy), axis=1,
-                  keepdims=True)
-    fpz = jnp.sum(pscale * dz + vscale * (jvz - vz), axis=1,
-                  keepdims=True)
-    gscale = m_over_rho * gmag
-    gcx = jnp.sum(gscale * dx, axis=1, keepdims=True)
-    gcy = jnp.sum(gscale * dy, axis=1, keepdims=True)
-    gcz = jnp.sum(gscale * dz, axis=1, keepdims=True)
-    lc = jnp.sum(m_over_rho * lapw, axis=1, keepdims=True)
+        # pair_force_terms (physics/common.py:40-56), w folded into
+        # m/rho
+        m_over_rho = jnp.where(mask, mass / jnp.maximum(rho_j, 1e-12),
+                               0.0)
+        dcl = jnp.maximum(h - r, 0.0)
+        gmag = jnp.where(r2 > 0.0,
+                         pvec_ref[_PV_SPIKY] * dcl * dcl * rinv, 0.0)
+        lapw = pvec_ref[_PV_VISC_LAP] * dcl
+        pscale = -(pres_i + pres_j) * 0.5 * m_over_rho * gmag
+        # mu folds into the per-pair viscous term (assemble_acc applies
+        # it outside the sum; multiplication distributes — fp32-equal
+        # within the oracle tolerance, same as the production table
+        # kernel)
+        vscale = m_over_rho * lapw * mu
+        fpx = fpx + jnp.sum(pscale * dx + vscale * (jvx - vx), axis=1,
+                            keepdims=True)
+        fpy = fpy + jnp.sum(pscale * dy + vscale * (jvy - vy), axis=1,
+                            keepdims=True)
+        fpz = fpz + jnp.sum(pscale * dz + vscale * (jvz - vz), axis=1,
+                            keepdims=True)
+        gscale = m_over_rho * gmag
+        gcx = gcx + jnp.sum(gscale * dx, axis=1, keepdims=True)
+        gcy = gcy + jnp.sum(gscale * dy, axis=1, keepdims=True)
+        gcz = gcz + jnp.sum(gscale * dz, axis=1, keepdims=True)
+        lc = lc + jnp.sum(m_over_rho * lapw, axis=1, keepdims=True)
 
     # assemble_acc + integrate (common.py:79-99)
     glen = jnp.sqrt(gcx * gcx + gcy * gcy + gcz * gcz)
@@ -142,18 +163,28 @@ def _force_kernel(n: int, ti: int, pvec_ref, jref, iref, out_ref):
 
     # XSPH: fresh self pos/vel vs stale neighbors (common.py /
     # brute_force.xsph_pass)
-    ddx = npx - jx
-    ddy = npy - jy
-    ddz = npz - jz
-    rr2 = ddx * ddx + ddy * ddy + ddz * ddz
-    xmask = not_self & (rr2 < h2) & live_j
-    dd = jnp.maximum(h2 - rr2, 0.0)
-    w = jnp.where(xmask, pvec_ref[_PV_POLY6] * dd * dd * dd, 0.0)
-    mw = w * mass / jnp.maximum(rho_j, 1e-12)
-    sx = jnp.sum(mw * (jvx - nvx), axis=1, keepdims=True)
-    sy = jnp.sum(mw * (jvy - nvy), axis=1, keepdims=True)
-    sz = jnp.sum(mw * (jvz - nvz), axis=1, keepdims=True)
-    norm = jnp.sum(w, axis=1, keepdims=True)
+    sx = sy = sz = norm = jnp.zeros((ti, 1), jnp.float32)
+    for j0, w_ in _jslices(n, jc):
+        lj = j0 + lax.broadcasted_iota(jnp.int32, (ti, w_), 1)
+        not_self = gi != lj
+        jx, jy, jz = (jref[0:1, j0:j0 + w_], jref[1:2, j0:j0 + w_],
+                      jref[2:3, j0:j0 + w_])
+        jvx, jvy, jvz = (jref[3:4, j0:j0 + w_], jref[4:5, j0:j0 + w_],
+                         jref[5:6, j0:j0 + w_])
+        rho_j = jref[6:7, j0:j0 + w_]
+        live_j = (rho_j > 0.0) & (jref[8:9, j0:j0 + w_] > 0.0)
+        ddx = npx - jx
+        ddy = npy - jy
+        ddz = npz - jz
+        rr2 = ddx * ddx + ddy * ddy + ddz * ddz
+        xmask = not_self & (rr2 < h2) & live_j
+        dd = jnp.maximum(h2 - rr2, 0.0)
+        w = jnp.where(xmask, pvec_ref[_PV_POLY6] * dd * dd * dd, 0.0)
+        mw = w * mass / jnp.maximum(rho_j, 1e-12)
+        sx = sx + jnp.sum(mw * (jvx - nvx), axis=1, keepdims=True)
+        sy = sy + jnp.sum(mw * (jvy - nvy), axis=1, keepdims=True)
+        sz = sz + jnp.sum(mw * (jvz - nvz), axis=1, keepdims=True)
+        norm = norm + jnp.sum(w, axis=1, keepdims=True)
     inv = jnp.where(norm > 0.0,
                     C.XSPH_COEFF / jnp.maximum(norm, 1e-30), 0.0)
     nvx = nvx + inv * sx
@@ -171,7 +202,7 @@ def _force_kernel(n: int, ti: int, pvec_ref, jref, iref, out_ref):
          z], axis=1)
 
 def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool,
-           ti: int = TI):
+           ti: int = TI, jc: int = 0):
     """Run both kernels over [Np(128-mult), ...] padded arrays."""
     np_ = pos.shape[0]
     assert np_ % ti == 0 and np_ % 128 == 0, np_
@@ -199,7 +230,7 @@ def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool,
 
     i_d = irows([pos])
     rho_rows = pl.pallas_call(
-        functools.partial(_density_kernel, np_),
+        functools.partial(_density_kernel, np_, jc),
         grid_spec=grid_spec(), out_shape=out_shape,
         interpret=interpret, compiler_params=_COMPILER_PARAMS,
     )(pvec, jrows, i_d)
@@ -207,7 +238,7 @@ def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool,
 
 
 def substep(state: ParticleState, params: FluidParams,
-            dt: jax.Array, ti: int = TI) -> ParticleState:
+            dt: jax.Array, ti: int = TI, jc: int = 0) -> ParticleState:
     """Drop-in for ``brute_force.substep`` (same all-pairs semantics,
     Pallas evaluation).  Order-preserving: no sort, rows stay put."""
     interpret = _interpret_default()
@@ -222,7 +253,8 @@ def substep(state: ParticleState, params: FluidParams,
 
     rho_raw, _, irows, grid_spec, out_shape = _calls(
         pos, vel, _pad_to(state.density, np_),
-        _pad_to(state.pressure, np_), contrib_p, pvec, interpret, ti)
+        _pad_to(state.pressure, np_), contrib_p, pvec, interpret, ti,
+        jc)
 
     density, pressure = C.finish_density(
         rho_raw[:n], state.ghost, contrib, state.density,
@@ -235,7 +267,7 @@ def substep(state: ParticleState, params: FluidParams,
         contrib_p[None, :]], axis=0)
     i_f = irows([pos, vel, rho_p[:, None], pres_p[:, None]])
     out = pl.pallas_call(
-        functools.partial(_force_kernel, np_, ti),
+        functools.partial(_force_kernel, np_, ti, jc),
         grid_spec=grid_spec(), out_shape=out_shape,
         interpret=interpret, compiler_params=_COMPILER_PARAMS,
     )(pvec, jrows, i_f)[:n]

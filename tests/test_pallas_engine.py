@@ -153,6 +153,32 @@ def test_pallas_matches_brute_rotated_container():
     assert dpos2.max() < 1e-4
 
 
+def test_pallas_gather_cols_matches_rows():
+    """The per-field gather(cols) output path is a pure transport
+    re-expression of the row gather — same kernels, same table reads —
+    so the two variants must agree bitwise."""
+    half = (3.0, 3.0, 3.0)
+    spawn = S.spawn_standard(128, h=0.28, box_half=half, seed=7)
+    state = S.state_from_spawn(spawn)
+    params = FluidParams.default(
+        box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), 0.28)
+
+    def run(gather_cols):
+        cfg = SimConfig(n=state.n, grid_dims=dims, neighbor_impl="pallas",
+                        cell_capacity=8, gather_cols=gather_cols)
+        buf = SceneBuffers.create(cfg)
+        out, _ = run_substeps(state, params, buf, params.dt, 2, cfg)
+        return out
+
+    a = run(False)
+    b = run(True)
+    ia, ib = _align(a, b)
+    assert (np.asarray(a.pos)[ia] == np.asarray(b.pos)[ib]).all()
+    assert (np.asarray(a.vel)[ia] == np.asarray(b.vel)[ib]).all()
+    assert (np.asarray(a.density)[ia] == np.asarray(b.density)[ib]).all()
+
+
 def test_pallas_overflow_transient_bounded():
     """Beyond-capacity overflow (VERDICT r2 weak #5, rotated_512k's
     waiver): particles with rank >= cell_capacity get ballistic updates
