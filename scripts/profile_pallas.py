@@ -219,6 +219,56 @@ if getattr(sim, "emit_rows", True):
           em_once, wst_e, wdst_e, win_e, s)
 
 
+# --- exact-overflow fallback decomposition (round 4: ghost_1m pays
+# ~40 ms/substep at 170 steady overflow — find out where) ---
+movf = K._movf_bound(s.key.shape[0], sim)
+if movf:
+    m_ = PL.unpack_meta(s.meta)
+    ofl_ = (m_.valid > 0) & (m_.ghost == 0) & ~ft.in_bin
+    n_ovf = int(np.asarray(jnp.sum(ofl_.astype(jnp.int32))))
+    print(f"overflow rows: {n_ovf} (movf {movf})", file=sys.stderr)
+
+    def compact_body(x, ofl):
+        ofl = ofl ^ (x.astype(jnp.int32) % 2 == 99)
+        didx, dmask = K._overflow_compact(ofl, movf)
+        return x * 1.0000001 + (didx[0] * 1e-20).astype(jnp.float32)
+
+    timed("ovf_compact(sort)", scanned(compact_body), jnp.float32(1.0),
+          ofl_)
+
+    for B in (512, 4096):
+        if B >= movf:
+            break
+
+        def nbr_body(x, s_, ofl, t, ra, rb, g, B=B):
+            ra = ra + x * 1e-20
+            out = K._overflow_nbr(s_, ofl, t, ra, rb, g, params,
+                                  params.dt, geom, B, movf)
+            return x * 1.0000001 + (out[2][0, 0] * 1e-20)
+
+        timed(f"ovf_nbr(B={B})", scanned(nbr_body), jnp.float32(1.0),
+              s, ofl_, ft, rho_a, rho_b, gt)
+
+    def scatters_body(x, pos, vel, acc, rho, pres, foam, ofl):
+        didx = jnp.arange(movf, dtype=jnp.int32)
+        dmask = ofl[:movf]
+        z3 = jnp.zeros((movf, 3), jnp.float32) + x * 1e-20
+        z1 = jnp.zeros((movf,), jnp.float32)
+
+        def put(dst, src):
+            sel = dmask[:, None] if src.ndim == 2 else dmask
+            return dst.at[didx].set(jnp.where(sel, src, dst[didx]),
+                                    unique_indices=True)
+
+        outs = (put(pos, z3), put(vel, z3), put(acc, z3), put(rho, z1),
+                put(pres, z1), put(foam, z1))
+        return x * 1.0000001 + outs[0][0, 0] * 1e-20
+
+    timed("ovf_put(6 scatters)", scanned(scatters_body),
+          jnp.float32(1.0), s.pos, s.vel, s.pos, s.foam, s.foam, s.foam,
+          ofl_)
+
+
 def full_body(st, p, ax):
     out = K.substep(st, p, p.dt, sim, aux=ax)
     return st.replace(pos=out.pos)
