@@ -37,7 +37,10 @@ from sph_tpu.neighbors.pallas_sweeps import (
     _interpret_default, _make_pvec)
 from sph_tpu.physics import common as C
 
-TI = 32          # i rows per program: 256 programs at 8k particles
+TI = 64          # i rows per program (round-4 TPU sweep: 64 beat 8-256)
+JC = 1024        # j-chunk width: bounds [TI, jc] temporaries so Mosaic
+                 # keeps each round register-resident (measured: 2.45 ->
+                 # 1.69 ms/substep at 8k vs the one-full-pass form)
 
 
 def _pad_to(x: jax.Array, n: int, fill: float = 0.0) -> jax.Array:
@@ -202,7 +205,7 @@ def _force_kernel(n: int, ti: int, jc: int, pvec_ref, jref, iref,
          z], axis=1)
 
 def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool,
-           ti: int = TI, jc: int = 0):
+           ti: int = TI, jc: int = JC):
     """Run both kernels over [Np(128-mult), ...] padded arrays."""
     np_ = pos.shape[0]
     assert np_ % ti == 0 and np_ % 128 == 0, np_
@@ -238,7 +241,7 @@ def _calls(pos, vel, rho, pres, contrib, pvec, interpret: bool,
 
 
 def substep(state: ParticleState, params: FluidParams,
-            dt: jax.Array, ti: int = TI, jc: int = 0) -> ParticleState:
+            dt: jax.Array, ti: int = TI, jc: int = JC) -> ParticleState:
     """Drop-in for ``brute_force.substep`` (same all-pairs semantics,
     Pallas evaluation).  Order-preserving: no sort, rows stay put."""
     interpret = _interpret_default()
