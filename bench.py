@@ -55,6 +55,12 @@ def main() -> None:
         _ab["gather_cols"] = _os.environ["SPH_GATHER_COLS"] == "1"
     if _os.environ.get("SPH_MAX_CWH") is not None:
         _ab["plane_max_cwh"] = int(_os.environ["SPH_MAX_CWH"])
+    if _os.environ.get("SPH_COMPACT_FORCE") is not None:
+        _ab["compact_force"] = _os.environ["SPH_COMPACT_FORCE"] == "1"
+    if _os.environ.get("SPH_CELL_CAPACITY") is not None:
+        # structural: table shapes change; cap = capacity//2 must stay
+        # Mosaic-legal (divisible by 8), so use 16 or 32 — never 24
+        _ab["cell_capacity"] = int(_os.environ["SPH_CELL_CAPACITY"])
     if _ab:
         sim = _dc.replace(sim, **_ab)
         print(f"[bench] A/B overrides: {_ab}", file=sys.stderr)

@@ -368,6 +368,13 @@ class SimConfig:
                                            # steady overflow) instead of
                                            # the 27-cell neighborhood
                                            # gather
+    compact_force: bool = True             # apply the compact-grid
+                                           # active-block list to the
+                                           # force+xsph kernel too;
+                                           # False = density compact,
+                                           # force dense (seq4 profiled
+                                           # force cmpct 119 vs dense
+                                           # 91 ms at 1M — A/B knob)
     gather_cols: bool = False              # output gather variant: per-
                                            # field two-gather + select
                                            # (no [10, T] concat / [T, 10]

@@ -1232,9 +1232,26 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
         return ra, rb, oa, ob, em
 
     # compact-grid sweeps when the active blocks fit the static cap;
-    # dense fallback otherwise (PERF.md roofline fix #2)
+    # dense fallback otherwise (PERF.md roofline fix #2).
+    # compact_force=False restricts compaction to the density kernel
+    # (A/B: seq4 profiled force cmpct 119 vs dense 91 ms at 1M while
+    # density cmpct is a consistent ~6 ms win).
     ma = _max_active(geom, config)
-    if ma:
+    if ma and not getattr(config, "compact_force", True):
+        qc, n_active = active_block_list(occ_rows, geom, ma)
+        rho_a, rho_b = lax.cond(
+            n_active <= ma,
+            lambda: density_call(ft, occ_rows, gt, pvec, geom,
+                                 interpret, qc=qc, n_prog=ma),
+            lambda: density_call(ft, occ_rows, gt, pvec, geom,
+                                 interpret, qc=None, n_prog=0))
+        out_a, out_b, em = force_xsph_call(ft, occ_rows, rho_a, rho_b,
+                                           gt, pvec, geom, interpret,
+                                           qc=None, n_prog=0,
+                                           emit=emit)
+        if em is None:
+            em = jnp.zeros((0, 128), jnp.float32)
+    elif ma:
         qc, n_active = active_block_list(occ_rows, geom, ma)
         rho_a, rho_b, out_a, out_b, em = lax.cond(
             n_active <= ma,
