@@ -51,6 +51,8 @@ def main() -> None:
         _ab["sweep_active_frac"] = float(_os.environ["SPH_ACTIVE_FRAC"])
     if _os.environ.get("SPH_EXACT_OVERFLOW") is not None:
         _ab["exact_overflow"] = _os.environ["SPH_EXACT_OVERFLOW"] == "1"
+    if _os.environ.get("SPH_OVERFLOW_INLINE") is not None:
+        _ab["overflow_inline"] = _os.environ["SPH_OVERFLOW_INLINE"] == "1"
     if _os.environ.get("SPH_GATHER_COLS") is not None:
         _ab["gather_cols"] = _os.environ["SPH_GATHER_COLS"] == "1"
     if _os.environ.get("SPH_MAX_CWH") is not None:

@@ -375,6 +375,15 @@ class SimConfig:
                                            # force dense (seq4 profiled
                                            # force cmpct 119 vs dense
                                            # 91 ms at 1M — A/B knob)
+    overflow_inline: bool = False          # A/B: run the B=512
+                                           # neighborhood fallback
+                                           # UNCONDITIONALLY (no
+                                           # lax.switch/cond boundary —
+                                           # tests PERF.md finding 8's
+                                           # layout infection across
+                                           # branch boundaries; rows
+                                           # past 512 stay ballistic
+                                           # for the substep)
     gather_cols: bool = False              # output gather variant: per-
                                            # field two-gather + select
                                            # (no [10, T] concat / [T, 10]

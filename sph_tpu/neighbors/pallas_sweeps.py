@@ -1347,7 +1347,31 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     # unbounded per-cell lists, BuildGrid.comp:34-38 — no capacity, so
     # no such hole to patch.
     movf = _movf_bound(n, config)
-    if movf:
+    if movf and getattr(config, "overflow_inline", False):
+        # A/B form: the B=512 neighborhood fallback runs UNCONDITIONALLY
+        # inline — no lax.switch/cond boundary, so XLA fuses/lays out the
+        # fallback gathers with the surrounding substep (finding 8: a
+        # branch boundary can force big-operand relayouts even for never-
+        # taken branches).  Overflow rows past B stay ballistic for the
+        # substep (dmask truncation below) — acceptable only while the
+        # steady overflow is < B (ghost_1m: 170).
+        B = min(512, movf)
+        didx, dmask, pos_o, vel_o, acc_o, rho_o, pres_o, foam_o = \
+            _overflow_nbr(s, ofl, ft, rho_a, rho_b, gt, params, dt,
+                          geom, B, movf)
+
+        def put(dst, src):
+            sel = dmask[:, None] if src.ndim == 2 else dmask
+            return dst.at[didx].set(jnp.where(sel, src, dst[didx]),
+                                    unique_indices=True)
+
+        pos = put(pos, pos_o)
+        vel = put(vel, vel_o)
+        acc = put(acc, acc_o)
+        density = put(density, rho_o)
+        pressure = put(pressure, pres_o)
+        foam = put(foam, foam_o)
+    elif movf:
         def _skip():
             z3 = jnp.zeros((movf, 3), jnp.float32)
             z1 = jnp.zeros((movf,), jnp.float32)

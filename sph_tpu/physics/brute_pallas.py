@@ -37,10 +37,11 @@ from sph_tpu.neighbors.pallas_sweeps import (
     _interpret_default, _make_pvec)
 from sph_tpu.physics import common as C
 
-TI = 64          # i rows per program (round-4 TPU sweep: 64 beat 8-256)
-JC = 1024        # j-chunk width: bounds [TI, jc] temporaries so Mosaic
-                 # keeps each round register-resident (measured: 2.45 ->
-                 # 1.69 ms/substep at 8k vs the one-full-pass form)
+TI = 128         # i rows per program (round-4 TPU corner sweep, seq5:
+JC = 512         # 128:512 = 1.510 ms/substep / 5.43e6 psteps/s at 8k,
+                 # beating 64:1024's 1.685).  j-chunking bounds each
+                 # round's [TI, jc] temporaries register-resident; the
+                 # one-full-pass [TI, N] form spills (2.45 ms).
 
 
 def _pad_to(x: jax.Array, n: int, fill: float = 0.0) -> jax.Array:
