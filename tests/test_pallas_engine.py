@@ -264,6 +264,52 @@ def test_pallas_overflow_transient_bounded():
     assert (np.abs(p) <= np.asarray(half) + h).all()
 
 
+def test_overflow_inline_matches_ladder():
+    """``overflow_inline`` (the unconditional, switch-free B=512 form of
+    the exact-overflow fallback — a fusion/layout A/B, PERF.md round-4)
+    must be bit-identical to the bucket-ladder dispatch while the
+    overflow count stays below 512: both evaluate _overflow_nbr(B=512)
+    on the same operands, only the lax.switch boundary differs."""
+    from sph_tpu.core.params import grid_min
+
+    half = (3.0, 3.0, 3.0)
+    h = 0.4
+    params = FluidParams.default(
+        h=h, box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), h)
+    gmin = np.asarray(grid_min(params), np.float32)
+
+    rng = np.random.RandomState(5)
+    pos = []
+    for i in range(6, 9):
+        for j in range(4, 6):
+            for k in range(6, 9):
+                base = gmin + (np.array([i, j, k], np.float32) + 0.5) * h
+                for _ in range(6):
+                    pos.append(base + (rng.rand(3).astype(np.float32)
+                                       - 0.5) * 0.3 * h)
+    pos = np.stack(pos)
+    n = pos.shape[0]
+    spawn = S.SpawnResult(
+        pos=pos, vel=np.zeros((n, 3), np.float32),
+        ghost=np.zeros((n,), np.int32),
+        face=np.full((n,), -1, np.int32),
+        color_group=np.zeros((n,), np.int32), count=n)
+    state = S.state_from_spawn(spawn)
+
+    def run(inline):
+        cfg = SimConfig(n=state.n, grid_dims=dims, neighbor_impl="pallas",
+                        cell_capacity=4, overflow_inline=inline)
+        buf = SceneBuffers.create(cfg)
+        out, _ = run_substeps(state, params, buf, params.dt, 2, cfg)
+        return out
+
+    a, b = run(False), run(True)
+    for f in ("pos", "vel", "density", "pressure", "foam"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        assert (x == y).all(), f"{f} diverged: {np.abs(x - y).max()}"
+
+
 def test_emit_rows_matches_gather_transport():
     """Row-emit (in-kernel particle-row streaming, PERF.md roofline
     fix #4) is pure TRANSPORT: the same kernel outputs must arrive
