@@ -55,6 +55,8 @@ def main() -> None:
         _ab["overflow_inline"] = _os.environ["SPH_OVERFLOW_INLINE"] == "1"
     if _os.environ.get("SPH_GATHER_COLS") is not None:
         _ab["gather_cols"] = _os.environ["SPH_GATHER_COLS"] == "1"
+    if _os.environ.get("SPH_GATHER_UNIQUE") is not None:
+        _ab["gather_unique"] = _os.environ["SPH_GATHER_UNIQUE"] == "1"
     if _os.environ.get("SPH_MAX_CWH") is not None:
         _ab["plane_max_cwh"] = int(_os.environ["SPH_MAX_CWH"])
     if _os.environ.get("SPH_COMPACT_FORCE") is not None:
@@ -128,13 +130,19 @@ def main() -> None:
             ((rank >= sim.cell_capacity)
              & (skey < geom.num_cells)).astype(jnp.int32))))
         movf = K._movf_bound(state.n, sim)
+        # overflow_inline truncates the exact fallback at its static
+        # bucket: rows past it stay ballistic for the substep, so the
+        # assert must tighten to the bucket (ADVICE r4) — otherwise the
+        # A/B knob silently degrades physics on high-overflow configs.
+        cap_eff = (min(K._OVF_INLINE_B, movf)
+                   if getattr(sim, "overflow_inline", False) else movf)
         print(f"[bench] capacity-overflow particles "
               f"(cell rank >= {sim.cell_capacity}): {ovf} "
-              f"(exact-fallback capacity {movf})", file=sys.stderr)
-        assert ovf <= movf, (
+              f"(exact-fallback capacity {cap_eff})", file=sys.stderr)
+        assert ovf <= cap_eff, (
             f"{ovf} particles overflowed cell_capacity="
-            f"{sim.cell_capacity}, beyond the exact fallback's {movf}-"
-            f"row capacity; physics silently degraded")
+            f"{sim.cell_capacity}, beyond the exact fallback's "
+            f"{cap_eff}-row capacity; physics silently degraded")
 
     if cfg.viz_export:
         # BASELINE config 5: headless frame export in all 4 viz modes

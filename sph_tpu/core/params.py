@@ -392,6 +392,13 @@ class SimConfig:
                                            # gather on the transposed
                                            # table — A/B via profile
                                            # stage output_gather(cols)
+    gather_unique: bool = False            # A/B: tag the output row
+                                           # gather's indices as a
+                                           # permutation
+                                           # (unique_indices=True) —
+                                           # the round-4 seq4 idea for
+                                           # the 42 ms latency-bound
+                                           # gather at 1M
 
     @property
     def num_cells(self) -> int:

@@ -904,6 +904,12 @@ def _interpret_default() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+# Static dest bucket of the UNCONDITIONAL inline overflow fallback
+# (overflow_inline=True).  bench.py tightens its overflow assert to this
+# bound when the knob is on (rows past it stay ballistic for a substep).
+_OVF_INLINE_B = 512
+
+
 def _movf_bound(n: int, config: SimConfig) -> int:
     """Static capacity of the exact-overflow dest set (0 disables)."""
     if not getattr(config, "exact_overflow", True):
@@ -1221,41 +1227,31 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
     else:
         emit = None
 
-    def run_sweeps(qc, n_prog):
+    def run_sweeps(qc, n_prog, force_compact=True):
+        # force_compact=False restricts compaction to the density kernel
+        # (A/B: seq4 profiled force cmpct 119 vs dense 91 ms at 1M while
+        # density cmpct is a consistent ~6 ms win); one code path for
+        # both dispatches so emit/em-None handling can't diverge
+        # (ADVICE r4).
         ra, rb = density_call(ft, occ_rows, gt, pvec, geom, interpret,
                               qc=qc, n_prog=n_prog)
+        fqc, fn = (qc, n_prog) if force_compact else (None, 0)
         oa, ob, em = force_xsph_call(ft, occ_rows, ra, rb, gt, pvec,
-                                     geom, interpret, qc=qc,
-                                     n_prog=n_prog, emit=emit)
+                                     geom, interpret, qc=fqc,
+                                     n_prog=fn, emit=emit)
         if em is None:
             em = jnp.zeros((0, 128), jnp.float32)
         return ra, rb, oa, ob, em
 
     # compact-grid sweeps when the active blocks fit the static cap;
     # dense fallback otherwise (PERF.md roofline fix #2).
-    # compact_force=False restricts compaction to the density kernel
-    # (A/B: seq4 profiled force cmpct 119 vs dense 91 ms at 1M while
-    # density cmpct is a consistent ~6 ms win).
     ma = _max_active(geom, config)
-    if ma and not getattr(config, "compact_force", True):
-        qc, n_active = active_block_list(occ_rows, geom, ma)
-        rho_a, rho_b = lax.cond(
-            n_active <= ma,
-            lambda: density_call(ft, occ_rows, gt, pvec, geom,
-                                 interpret, qc=qc, n_prog=ma),
-            lambda: density_call(ft, occ_rows, gt, pvec, geom,
-                                 interpret, qc=None, n_prog=0))
-        out_a, out_b, em = force_xsph_call(ft, occ_rows, rho_a, rho_b,
-                                           gt, pvec, geom, interpret,
-                                           qc=None, n_prog=0,
-                                           emit=emit)
-        if em is None:
-            em = jnp.zeros((0, 128), jnp.float32)
-    elif ma:
+    if ma:
+        fc = bool(getattr(config, "compact_force", True))
         qc, n_active = active_block_list(occ_rows, geom, ma)
         rho_a, rho_b, out_a, out_b, em = lax.cond(
             n_active <= ma,
-            lambda: run_sweeps(qc, ma),
+            lambda: run_sweeps(qc, ma, force_compact=fc),
             lambda: run_sweeps(None, 0))
     else:
         rho_a, rho_b, out_a, out_b, em = run_sweeps(None, 0)
@@ -1298,8 +1294,16 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
             10, -1)
         sb = jnp.concatenate([out_b, rho_b[None]], axis=0).reshape(
             10, -1)
-        per = jnp.concatenate([sa, sb], axis=1).T[
-            PL.out_flat_index(s, geom)[:nf]]                  # [nf, 10]
+        tbl = jnp.concatenate([sa, sb], axis=1).T
+        idx = PL.out_flat_index(s, geom)[:nf]
+        if getattr(config, "gather_unique", False):
+            # the index set is a permutation into distinct slots; the
+            # unique_indices tag lets XLA skip its duplicate-handling
+            # path (A/B for the latency-bound 42 ms gather at 1M)
+            per = tbl.at[idx].get(unique_indices=True,
+                                  mode="promise_in_bounds")
+        else:
+            per = tbl[idx]                                    # [nf, 10]
     if nf < n:
         per = jnp.concatenate(
             [per, jnp.zeros((n - nf, 10), jnp.float32)], axis=0)
@@ -1355,7 +1359,7 @@ def substep(state: ParticleState, params: FluidParams, dt: jax.Array,
         # taken branches).  Overflow rows past B stay ballistic for the
         # substep (dmask truncation below) — acceptable only while the
         # steady overflow is < B (ghost_1m: 170).
-        B = min(512, movf)
+        B = min(_OVF_INLINE_B, movf)
         didx, dmask, pos_o, vel_o, acc_o, rho_o, pres_o, foam_o = \
             _overflow_nbr(s, ofl, ft, rho_a, rho_b, gt, params, dt,
                           geom, B, movf)

@@ -310,6 +310,32 @@ def test_overflow_inline_matches_ladder():
         assert (x == y).all(), f"{f} diverged: {np.abs(x - y).max()}"
 
 
+def test_gather_unique_matches_default():
+    """``gather_unique`` only tags the output row gather's indices as a
+    permutation (unique_indices / promise_in_bounds) — pure transport,
+    must be bit-identical to the default gather."""
+    half = (3.0, 3.0, 3.0)
+    fluid = S.spawn_standard(300, h=0.28, box_half=half, seed=7)
+    shell = S.spawn_ghost_box_shell(h=0.28, box_half=half)
+    spawn = S.concat_spawns(fluid, shell)
+    state = S.state_from_spawn(spawn)
+    params = FluidParams.default(
+        h=0.28, box_half=np.asarray(half, np.float32)).derive_mass()
+    dims = compute_grid_dims(SHAPE_BOX, half, (0, 0, 0), 0.28)
+
+    def run(unique):
+        cfg = SimConfig(n=state.n, grid_dims=dims, neighbor_impl="pallas",
+                        cell_capacity=8, gather_unique=unique)
+        buf = SceneBuffers.create(cfg)
+        out, _ = run_substeps(state, params, buf, params.dt, 2, cfg)
+        return out
+
+    a, b = run(False), run(True)
+    for f in ("pos", "vel", "density", "pressure", "foam"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        assert (x == y).all(), f"{f} diverged: {np.abs(x - y).max()}"
+
+
 def test_emit_rows_matches_gather_transport():
     """Row-emit (in-kernel particle-row streaming, PERF.md roofline
     fix #4) is pure TRANSPORT: the same kernel outputs must arrive
