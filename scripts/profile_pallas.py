@@ -275,7 +275,13 @@ if movf:
 
 
 def full_body(st, p, ax):
+    # thread EVERY output field into the carry: a pos-only carry lets
+    # XLA dead-code the density/pressure/foam/acc puts and parts of the
+    # reassembly — the round-4 "FULL substep 201 ms" under-measured the
+    # true substep by exactly the bench-vs-profiler gap it created
     out = K.substep(st, p, p.dt, sim, aux=ax)
-    return st.replace(pos=out.pos)
+    return st.replace(pos=out.pos, vel=out.vel, acc=out.acc,
+                      density=out.density, pressure=out.pressure,
+                      foam=out.foam)
 
 timed("FULL substep", scanned(full_body), state, params, aux)

@@ -65,13 +65,14 @@ CONFIGS = {
     "rotated_512k": BenchConfig(
         name="rotated_512k", n_target=524288, box_half=(15.0, 15.0, 15.0),
         box_euler_deg=(20.0, 0.0, 30.0), wave_impulse=True,
-        # the dense spawn lattice transiently stacks past capacity 16
-        # (~1.3% of particles at spawn); overflowed ranks route through
-        # the exact all-pairs fallback (oracle physics — VERDICT r3
-        # weak #3) until pressure disperses the cell.  The fallback's
-        # fidelity is pinned by tests/test_pallas_engine.py::
-        # test_pallas_overflow_transient_bounded, and bench.py asserts
-        # the count stays within the fallback's capacity at run end
+        # round 5: the spawn now rejection-samples the world lattice
+        # against the ROTATED shape (SPHFluid3D.cpp:167-235) — the old
+        # local-lattice-as-world spawn put column corners outside the
+        # rotated box and apply_container collapsed them onto the faces
+        # (the "steady ~4.2k overflow / 322 ms" of rounds 3-4).  Spawn
+        # overflow at capacity 16 is now ZERO (hottest spawn cell: 6);
+        # capacity 16 is kept for settling-compression headroom, and any
+        # residual overflow still routes through the exact fallback
         cell_capacity=16),
     "ghost_1m": BenchConfig(
         name="ghost_1m", n_target=1_000_000, box_half=(18.5, 18.5, 18.5),
@@ -86,7 +87,8 @@ def build(cfg: BenchConfig, seed: int = 0, neighbor_impl: Optional[str] = None):
     """Spawn + configure: returns (state, params, sim_config)."""
     impl = neighbor_impl or cfg.neighbor_impl
     spawn = S.spawn_standard(
-        cfg.n_target, h=cfg.h, box_half=cfg.box_half, seed=seed)
+        cfg.n_target, h=cfg.h, box_half=cfg.box_half, seed=seed,
+        box_euler_deg=cfg.box_euler_deg)
     if cfg.ghosts:
         shell = S.spawn_ghost_box_shell(h=cfg.h, box_half=cfg.box_half)
         spawn = S.concat_spawns(spawn, shell)

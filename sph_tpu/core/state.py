@@ -151,16 +151,36 @@ def spawn_standard(n_target: int, *, h: float = 0.28, rest_density: float = 1000
                    shape_type: int = P.SHAPE_BOX, shape_aux=(5.0, 0.35, 2.5),
                    mix_pattern: int = 0, use_jitter: bool = True,
                    jitter_amp: float = 0.20, seed: int = 0,
-                   fill_fraction: float = 0.4) -> SpawnResult:
-    """Bottom-anchored lattice spawn (``SPHFluid3D.cpp:159-259``)."""
+                   fill_fraction: float = 0.4,
+                   box_euler_deg=(0.0, 0.0, 0.0)) -> SpawnResult:
+    """Bottom-anchored lattice spawn (``SPHFluid3D.cpp:159-259``).
+
+    For a ROTATED container the reference builds a world-axis-aligned
+    lattice and rejection-samples it against the rotated shape (the
+    ``insideShape`` lambda maps world -> container-local before testing,
+    ``SPHFluid3D.cpp:167-235``) — it never spawns a particle outside the
+    container.  Mirror that: the lattice spans the rotated shape's world
+    AABB and the inside test runs on ``R^T p``.  (The pre-round-5 spawn
+    treated the local-frame lattice as world positions; at
+    rotated_512k the column's corners spawned OUTSIDE the rotated box
+    and ``apply_container`` collapsed those wedges onto the faces —
+    dense 2D face sheets that drained slowly and read as "steady"
+    capacity overflow.)  ``box_euler_deg == 0`` reproduces the old
+    lattice bit-for-bit."""
     spacing = 0.85 * h
     margin = 0.5 * spacing
     hf = P.effective_half_np(shape_type, np.asarray(box_half, np.float32))
     c = np.asarray(box_center, np.float32)
+    euler = np.asarray(box_euler_deg, np.float32)
+    rotated = bool(np.any(euler != 0.0))
+    rot = P.rotation_matrix_np(euler)
+    # world AABB of the rotated effective box: ext_i = sum_j |R_ij| hf_j
+    # (SPHFluid3D.cpp:282-304)
+    ext = (np.abs(rot) @ hf).astype(np.float32) if rotated else hf
 
-    layers_y = max(1, int((2.0 * hf[1] * fill_fraction) / spacing))
-    side_x = max(1, int((hf[0] * 1.7) / spacing))
-    side_z = max(1, int((hf[2] * 1.7) / spacing))
+    layers_y = max(1, int((2.0 * ext[1] * fill_fraction) / spacing))
+    side_x = max(1, int((ext[0] * 1.7) / spacing))
+    side_z = max(1, int((ext[2] * 1.7) / spacing))
 
     xi, yi, zi = np.meshgrid(np.arange(side_x), np.arange(layers_y),
                              np.arange(side_z), indexing="ij")
@@ -173,11 +193,29 @@ def spawn_standard(n_target: int, *, h: float = 0.28, rest_density: float = 1000
         a = spacing * jitter_amp
         return rng.uniform(-a, a, jshape).astype(np.float32)
 
-    lx = (-hf[0] * 0.85 + xi * spacing + jit_()).astype(np.float32)
-    ly = (-hf[1] + spacing + yi * spacing + jit_()).astype(np.float32)
-    lz = (-hf[2] * 0.85 + zi * spacing + jit_()).astype(np.float32)
+    # world-frame offsets from the container center
+    wx = (-ext[0] * 0.85 + xi * spacing + jit_()).astype(np.float32)
+    wy = (-ext[1] + spacing + yi * spacing + jit_()).astype(np.float32)
+    wz = (-ext[2] * 0.85 + zi * spacing + jit_()).astype(np.float32)
+
+    if rotated:
+        # container-local coords for the rejection test: R^T w
+        lx = rot[0, 0] * wx + rot[1, 0] * wy + rot[2, 0] * wz
+        ly = rot[0, 1] * wx + rot[1, 1] * wy + rot[2, 1] * wz
+        lz = rot[0, 2] * wx + rot[1, 2] * wy + rot[2, 2] * wz
+    else:
+        lx, ly, lz = wx, wy, wz
 
     inside = _inside_shape_np(lx, ly, lz, shape_type, box_half, shape_aux, margin)
+    if rotated:
+        # the box branch of _inside_shape_np accepts the whole lattice
+        # (true only for the unrotated, box-bounded lattice); under
+        # rotation the AABB-spanning lattice needs the explicit local-
+        # frame bounds test (insideShape's box case, SPHFluid3D.cpp:171)
+        inside = (inside
+                  & (np.abs(lx) <= hf[0] - margin)
+                  & (np.abs(ly) <= hf[1] - margin)
+                  & (np.abs(lz) <= hf[2] - margin))
 
     # Color-group tag (SPHFluid3D.cpp:252-257)
     if mix_pattern == 1:
@@ -189,9 +227,9 @@ def spawn_standard(n_target: int, *, h: float = 0.28, rest_density: float = 1000
 
     flat = inside.reshape(-1)
     order = np.nonzero(flat)[0][:n_target]   # lattice traversal order, capped
-    pos_l = np.stack([lx.reshape(-1)[order], ly.reshape(-1)[order],
-                      lz.reshape(-1)[order]], axis=-1)
-    pos = pos_l + c[None, :]
+    pos_w = np.stack([wx.reshape(-1)[order], wy.reshape(-1)[order],
+                      wz.reshape(-1)[order]], axis=-1)
+    pos = pos_w + c[None, :]
     count = pos.shape[0]
     return SpawnResult(
         pos=pos.astype(np.float32),

@@ -518,8 +518,17 @@ def _force_xsph_kernel(geom: PL.PlaneGeom, has_ghosts: bool,
     gas_k = pvec_ref[_PV_GASK]
     dt = pvec_ref[_PV_DT]
 
+    # pos fields init to SENTINEL (not zero): the resident engine reuses
+    # these outputs as the next substep's source tables, and a zero
+    # "position" in a skipped (no-dest) window would be a phantom
+    # particle at the world origin.  Computed sections overwrite; empty
+    # slots inside them carry sentinel through the integration anyway.
     out_a_ref[...] = jnp.zeros(out_a_ref.shape, jnp.float32)
     out_b_ref[...] = jnp.zeros(out_b_ref.shape, jnp.float32)
+    pos_init = jnp.full((3,) + out_a_ref.shape[1:], PL.SENTINEL_POS,
+                        jnp.float32)
+    out_a_ref[0:3] = pos_init
+    out_b_ref[0:3] = pos_init
 
     @pl.when((dest_a | dest_b) > 0)
     def _():
@@ -1097,6 +1106,32 @@ def _ovf_force_xsph(pos_i, vel_i, foam_i, rho_i, pres_i, ids_i,
     return new_pos_i, new_vel_i, acc_i, foam_i
 
 
+def _ovf_core(pos_i, vel_i, foam_i, key_i, amask, ids_i,
+              tbl_a, tbl_b, rho_a, rho_b, gt, params: FluidParams,
+              dt: jax.Array, geom: PL.PlaneGeom):
+    """Exact WCSPH update for a FIXED set of overflow rows (the body of
+    :func:`_overflow_nbr`, also used by the resident engine with
+    side-carried rows): table-gathered 27-cell sources + all-pairs over
+    the row set + gathered ghosts.  Returns
+    (pos, vel, acc, rho, pres, foam) for the rows."""
+    from sph_tpu.physics import brute_force as BF
+    r0 = params.rest_density
+    pj, vj, rj, gp = _gather_tbl_sources(key_i, tbl_a, tbl_b,
+                                         rho_a, rho_b, gt, geom)
+    rho_raw = _ovf_gathered_density(pos_i, pj, rj, gp, params)
+    rho_raw = rho_raw + BF.density_pass(pos_i, pos_i, amask, params)
+    rho_i = jnp.maximum(rho_raw, C.DENSITY_FLOOR_FRAC * r0)
+    pres_i = jnp.maximum(params.gas_constant * (rho_i - r0), 0.0)
+
+    orho = jnp.where(amask, rho_i, 0.0)
+    opres = jnp.where(amask, pres_i, 0.0)
+    new_pos_i, new_vel_i, acc_i, foam_i = _ovf_force_xsph(
+        pos_i, vel_i, foam_i, rho_i, pres_i, ids_i,
+        pj, vj, rj, gp, pos_i, vel_i, orho, opres, amask, ids_i,
+        params, dt)
+    return new_pos_i, new_vel_i, acc_i, rho_i, pres_i, foam_i
+
+
 def _overflow_nbr(s: PL.Sorted, ofl: jax.Array, ft, rho_a: jax.Array,
                   rho_b: jax.Array, gt, params: FluidParams,
                   dt: jax.Array, geom: PL.PlaneGeom, B: int, movf: int):
@@ -1126,28 +1161,12 @@ def _overflow_nbr(s: PL.Sorted, ofl: jax.Array, ft, rho_a: jax.Array,
     ``B``: rows actually computed (first B of the compacted movf).
     Returns movf-padded (didx, dmask, pos, vel, acc, rho, pres, foam).
     """
-    from sph_tpu.physics import brute_force as BF
-    r0 = params.rest_density
     didx, dmask = _overflow_compact(ofl, movf)
     dB = didx[:B]
     amask = ofl[dB]
-    pos_i = s.pos[dB]
-    vel_i = s.vel[dB]
-
-    pj, vj, rj, gp = _gather_tbl_sources(s.key[dB], ft.tbl_a, ft.tbl_b,
-                                         rho_a, rho_b, gt, geom)
-    rho_raw = _ovf_gathered_density(pos_i, pj, rj, gp, params)
-    rho_raw = rho_raw + BF.density_pass(pos_i, pos_i, amask, params)
-    rho_i = jnp.maximum(rho_raw, C.DENSITY_FLOOR_FRAC * r0)
-    pres_i = jnp.maximum(params.gas_constant * (rho_i - r0), 0.0)
-
-    ids_i = dB
-    orho = jnp.where(amask, rho_i, 0.0)
-    opres = jnp.where(amask, pres_i, 0.0)
-    new_pos_i, new_vel_i, acc_i, foam_i = _ovf_force_xsph(
-        pos_i, vel_i, s.foam[dB], rho_i, pres_i, ids_i,
-        pj, vj, rj, gp, pos_i, vel_i, orho, opres, amask, ids_i,
-        params, dt)
+    new_pos_i, new_vel_i, acc_i, rho_i, pres_i, foam_i = _ovf_core(
+        s.pos[dB], s.vel[dB], s.foam[dB], s.key[dB], amask, dB,
+        ft.tbl_a, ft.tbl_b, rho_a, rho_b, gt, params, dt, geom)
 
     def padm(x):
         pad = [(0, movf - B)] + [(0, 0)] * (x.ndim - 1)

@@ -217,6 +217,59 @@ def apply_container(state: ParticleState, params: FluidParams) -> ParticleState:
     )
 
 
+def apply_container_planes(px, py, pz, vx, vy, vz, live,
+                           params: FluidParams):
+    """Component-wise plane form of :func:`apply_container` for the
+    RESIDENT engine (SHAPE_BOX only): identical math on separate
+    coordinate planes of the slot tables — a ``[T, 3]`` view of the
+    ``[F, ...]`` table layout would materialize a 3-minor array at 42x
+    tile padding (PERF.md finding 8), so the vector ops are unrolled
+    per component.  ``live`` masks occupied fluid slots (empty slots
+    carry SENTINEL_POS and must NOT be projected into the box).
+    Returns the six updated planes."""
+    rot = rotation_matrix(params.box_euler_deg)          # world_from_box
+    c = params.box_center
+    half = params.box_half
+    e = params.wall_restitution
+    mu = params.wall_friction
+    dx, dy, dz = px - c[0], py - c[1], pz - c[2]
+    # local = R^T d
+    lx = rot[0, 0] * dx + rot[1, 0] * dy + rot[2, 0] * dz
+    ly = rot[0, 1] * dx + rot[1, 1] * dy + rot[2, 1] * dz
+    lz = rot[0, 2] * dx + rot[1, 2] * dy + rot[2, 2] * dz
+    qx = jnp.clip(lx, -half[0], half[0])
+    qy = jnp.clip(ly, -half[1], half[1])
+    qz = jnp.clip(lz, -half[2], half[2])
+    ex, ey, ez = lx - qx, ly - qy, lz - qz
+    ax, ay, az = jnp.abs(ex), jnp.abs(ey), jnp.abs(ez)
+    hit = (ax > 0.0) | (ay > 0.0) | (az > 0.0)
+    # argmax(|e|) with first-max tie-breaking (_project_box:52)
+    m0 = (ax >= ay) & (ax >= az)
+    m1 = ~m0 & (ay >= az)
+    m2 = ~m0 & ~m1
+    nlx = jnp.where(m0, jnp.sign(ex), 0.0)
+    nly = jnp.where(m1, jnp.sign(ey), 0.0)
+    nlz = jnp.where(m2, jnp.sign(ez), 0.0)
+    # world normal R n, then _safe_unit
+    nwx = rot[0, 0] * nlx + rot[0, 1] * nly + rot[0, 2] * nlz
+    nwy = rot[1, 0] * nlx + rot[1, 1] * nly + rot[1, 2] * nlz
+    nwz = rot[2, 0] * nlx + rot[2, 1] * nly + rot[2, 2] * nlz
+    nn = jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
+    inv = 1.0 / jnp.maximum(nn, 1e-12)
+    nwx, nwy, nwz = nwx * inv, nwy * inv, nwz * inv
+    npx = c[0] + rot[0, 0] * qx + rot[0, 1] * qy + rot[0, 2] * qz
+    npy = c[1] + rot[1, 0] * qx + rot[1, 1] * qy + rot[1, 2] * qz
+    npz = c[2] + rot[2, 0] * qx + rot[2, 1] * qy + rot[2, 2] * qz
+    vn = vx * nwx + vy * nwy + vz * nwz
+    nvx = -e * vn * nwx + (1.0 - mu) * (vx - vn * nwx)
+    nvy = -e * vn * nwy + (1.0 - mu) * (vy - vn * nwy)
+    nvz = -e * vn * nwz + (1.0 - mu) * (vz - vn * nwz)
+    sel = hit & live
+    return (jnp.where(sel, npx, px), jnp.where(sel, npy, py),
+            jnp.where(sel, npz, pz), jnp.where(sel, nvx, vx),
+            jnp.where(sel, nvy, vy), jnp.where(sel, nvz, vz))
+
+
 # ---------------------------------------------------------------------------
 # Terrain heightfield (river mode)
 # ---------------------------------------------------------------------------

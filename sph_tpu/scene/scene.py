@@ -105,7 +105,8 @@ class Scene:
             shape_type=s.shape_type, shape_aux=tuple(s.shape_aux)
             if any(s.shape_aux) else (5.0, 0.35, 2.5),
             mix_pattern=s.mix_pattern, use_jitter=s.use_jitter,
-            jitter_amp=s.jitter_amp, seed=self.seed)
+            jitter_amp=s.jitter_amp, seed=self.seed,
+            box_euler_deg=tuple(s.box_euler))
         self.state = S.state_from_spawn(spawn)
         self.params = params_from_settings(s)
         dims = P.compute_grid_dims(

@@ -138,3 +138,33 @@ def test_terrain_collision():
     p, v = np.asarray(out.pos)[0], np.asarray(out.vel)[0]
     assert abs(p[1] - 2.001) < 1e-5
     np.testing.assert_allclose(v, [0.0, 2.0, 1.0], atol=1e-5)
+
+
+def test_container_planes_matches_row_form():
+    """The resident engine's component-wise plane form of the box
+    container must match apply_container on identical inputs (rotated
+    OBB, mixed inside/outside, restitution + friction)."""
+    import numpy as _np
+
+    params = FluidParams.default(
+        box_half=_np.asarray([4.0, 3.0, 5.0], _np.float32),
+        box_euler_deg=_np.asarray([20.0, 0.0, 30.0], _np.float32),
+        wall_restitution=0.4, wall_friction=0.07)
+    rng = _np.random.RandomState(11)
+    n = 512
+    pos = rng.uniform(-8.0, 8.0, (n, 3)).astype(_np.float32)
+    vel = rng.uniform(-5.0, 5.0, (n, 3)).astype(_np.float32)
+    st = ParticleState.zeros(n).replace(
+        pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+        valid=jnp.ones((n,), jnp.int32))
+    ref = CN.apply_container(st, params)
+
+    px, py, pz, vx, vy, vz = CN.apply_container_planes(
+        jnp.asarray(pos[:, 0]), jnp.asarray(pos[:, 1]),
+        jnp.asarray(pos[:, 2]), jnp.asarray(vel[:, 0]),
+        jnp.asarray(vel[:, 1]), jnp.asarray(vel[:, 2]),
+        jnp.ones((n,), bool), params)
+    got_p = _np.stack([px, py, pz], -1)
+    got_v = _np.stack([vx, vy, vz], -1)
+    _np.testing.assert_allclose(got_p, _np.asarray(ref.pos), atol=2e-5)
+    _np.testing.assert_allclose(got_v, _np.asarray(ref.vel), atol=2e-5)
