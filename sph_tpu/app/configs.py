@@ -42,6 +42,11 @@ class BenchConfig:
     grid_cap: int = P.GRID_DIM_CAP
     cell_capacity: int = 8
     viz_export: bool = False
+    spawn_rotation: str = "ignore"    # see core.state.spawn_standard:
+                                      # "ignore" = reference semantics
+                                      # (SPHFluid3D.cpp:166-169);
+                                      # "local" = lattice rotated with
+                                      # the container (rotated_512k)
     emit_rows: bool = False           # in-kernel particle-row emit:
                                       # measured 9x SLOWER than the
                                       # row gather as built (serial
@@ -65,14 +70,17 @@ CONFIGS = {
     "rotated_512k": BenchConfig(
         name="rotated_512k", n_target=524288, box_half=(15.0, 15.0, 15.0),
         box_euler_deg=(20.0, 0.0, 30.0), wave_impulse=True,
-        # round 5: the spawn now rejection-samples the world lattice
-        # against the ROTATED shape (SPHFluid3D.cpp:167-235) — the old
-        # local-lattice-as-world spawn put column corners outside the
-        # rotated box and apply_container collapsed them onto the faces
-        # (the "steady ~4.2k overflow / 322 ms" of rounds 3-4).  Spawn
-        # overflow at capacity 16 is now ZERO (hottest spawn cell: 6);
-        # capacity 16 is kept for settling-compression headroom, and any
-        # residual overflow still routes through the exact fallback
+        # round 5: spawn_rotation="local" — the lattice rotates WITH the
+        # container, so no particle spawns outside it.  The reference
+        # ignores rotation at spawn (SPHFluid3D.cpp:166-169) and lets
+        # the constraint pass collapse the out-of-box corners onto the
+        # faces; those projection sheets were the rounds-3/4 "steady
+        # ~4.2k overflow / 322 ms" (a transient artifact, not fluid).
+        # An AABB-spanning world lattice was also tried and REJECTED:
+        # its deep corner wedge collapses at 512k (rho -> 5e4, NaN —
+        # PERF.md round 5).  Capacity 16 keeps settling-compression
+        # headroom; residual overflow routes through the exact fallback
+        spawn_rotation="local",
         cell_capacity=16),
     "ghost_1m": BenchConfig(
         name="ghost_1m", n_target=1_000_000, box_half=(18.5, 18.5, 18.5),
@@ -88,7 +96,8 @@ def build(cfg: BenchConfig, seed: int = 0, neighbor_impl: Optional[str] = None):
     impl = neighbor_impl or cfg.neighbor_impl
     spawn = S.spawn_standard(
         cfg.n_target, h=cfg.h, box_half=cfg.box_half, seed=seed,
-        box_euler_deg=cfg.box_euler_deg)
+        box_euler_deg=cfg.box_euler_deg,
+        spawn_rotation=cfg.spawn_rotation)
     if cfg.ghosts:
         shell = S.spawn_ghost_box_shell(h=cfg.h, box_half=cfg.box_half)
         spawn = S.concat_spawns(spawn, shell)

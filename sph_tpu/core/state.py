@@ -152,28 +152,36 @@ def spawn_standard(n_target: int, *, h: float = 0.28, rest_density: float = 1000
                    mix_pattern: int = 0, use_jitter: bool = True,
                    jitter_amp: float = 0.20, seed: int = 0,
                    fill_fraction: float = 0.4,
-                   box_euler_deg=(0.0, 0.0, 0.0)) -> SpawnResult:
+                   box_euler_deg=(0.0, 0.0, 0.0),
+                   spawn_rotation: str = "ignore") -> SpawnResult:
     """Bottom-anchored lattice spawn (``SPHFluid3D.cpp:159-259``).
 
-    For a ROTATED container the reference builds a world-axis-aligned
-    lattice and rejection-samples it against the rotated shape (the
-    ``insideShape`` lambda maps world -> container-local before testing,
-    ``SPHFluid3D.cpp:167-235``) — it never spawns a particle outside the
-    container.  Mirror that: the lattice spans the rotated shape's world
-    AABB and the inside test runs on ``R^T p``.  (The pre-round-5 spawn
-    treated the local-frame lattice as world positions; at
-    rotated_512k the column's corners spawned OUTSIDE the rotated box
-    and ``apply_container`` collapsed those wedges onto the faces —
-    dense 2D face sheets that drained slowly and read as "steady"
-    capacity overflow.)  ``box_euler_deg == 0`` reproduces the old
-    lattice bit-for-bit."""
+    ``spawn_rotation`` — how a rotated container affects the lattice:
+
+    - ``"ignore"`` (default): REFERENCE semantics — "rotation is ignored
+      at spawn, as before; the constraint pass settles particles
+      afterwards" (``SPHFluid3D.cpp:166-169``).  The container-frame
+      lattice is emitted as world positions; for a rotated box the
+      column corners start OUTSIDE and get projected onto the faces.
+    - ``"local"``: the same container-frame lattice ROTATED into world
+      (``p = c + R offset``) — inside the container by construction;
+      used by the rotated_512k bench so it measures settled fluid
+      instead of the projection-sheet transient (round-5 PERF.md:
+      the "steady ~4.2k overflow" of rounds 3-4 was that transient).
+    - ``"aabb"``: world-axis lattice over the rotated AABB,
+      rejection-tested in local coords.  Measured round 5: the deep
+      corner wedge this creates collapses at 512k (rho -> 5e4,
+      NaN) — kept only for experiments.
+
+    ``box_euler_deg == 0`` (any mode) reproduces the round-4 lattice
+    bit-for-bit."""
     spacing = 0.85 * h
     margin = 0.5 * spacing
     hf = P.effective_half_np(shape_type, np.asarray(box_half, np.float32))
     c = np.asarray(box_center, np.float32)
     euler = np.asarray(box_euler_deg, np.float32)
-    rotated = bool(np.any(euler != 0.0))
     rot = P.rotation_matrix_np(euler)
+    rotated = bool(np.any(euler != 0.0)) and spawn_rotation == "aabb"
     # world AABB of the rotated effective box: ext_i = sum_j |R_ij| hf_j
     # (SPHFluid3D.cpp:282-304)
     ext = (np.abs(rot) @ hf).astype(np.float32) if rotated else hf
@@ -229,6 +237,9 @@ def spawn_standard(n_target: int, *, h: float = 0.28, rest_density: float = 1000
     order = np.nonzero(flat)[0][:n_target]   # lattice traversal order, capped
     pos_w = np.stack([wx.reshape(-1)[order], wy.reshape(-1)[order],
                       wz.reshape(-1)[order]], axis=-1)
+    if spawn_rotation == "local" and np.any(euler != 0.0):
+        # container-frame lattice rotated into world: p = c + R offset
+        pos_w = pos_w @ rot.T
     pos = pos_w + c[None, :]
     count = pos.shape[0]
     return SpawnResult(
