@@ -78,10 +78,13 @@ CONFIGS = {
         # ~4.2k overflow / 322 ms" (a transient artifact, not fluid).
         # An AABB-spanning world lattice was also tried and REJECTED:
         # its deep corner wedge collapses at 512k (rho -> 5e4, NaN —
-        # PERF.md round 5).  Capacity 16 keeps settling-compression
-        # headroom; residual overflow routes through the exact fallback
+        # PERF.md round 5).  Capacity 8 measured 97.3 ms/substep vs
+        # 133.4 at 16 with overflow 0 in the bench window (round-5
+        # seq C); deeper-settled states that push cells past 8 route
+        # through the exact fallback and show up loudly in the bench
+        # overflow audit (<= movf 8192 asserted)
         spawn_rotation="local",
-        cell_capacity=16),
+        cell_capacity=8),
     "ghost_1m": BenchConfig(
         name="ghost_1m", n_target=1_000_000, box_half=(18.5, 18.5, 18.5),
         ghosts=True),
